@@ -1,0 +1,197 @@
+"""Deterministic synthetic transcripts generator.
+
+Produces the north-rule input table ``(conv_id, turn_idx, role, text,
+tool, ts)`` (BASELINE.json input_hint) at any scale, as a pure function
+of (conversation index, turn index) — no wall clock, no global RNG — so
+re-runs produce byte-identical tables (required by the resume tests,
+FIXTURES.md §4).
+
+Payload classes follow FIXTURES.md §3: the 9 reference end-to-end
+fixtures (read from the reference checkout when present), the
+micro-payload shapes from the reference unit tests, lorem filler,
+plain-chat text, and the negative/edge rows (§3d). Skew: every 97th
+conversation is "long" (x50 turns) to exercise the salting path.
+
+Generation is distributed: ``spark.range`` over conversation ids +
+``mapInPandas`` — the generator itself scales with the cluster.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import types as T
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+_FIXTURE_DIR = Path("/root/reference/Src/NReadability/NReadability.Tests/SampleInput")
+
+_BASE_TS = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+_ROLES = ("user", "assistant", "tool")
+
+_LOREM_SENTENCES = (
+    "Lorem ipsum dolor sit amet, consectetur adipiscing elit.",
+    "Praesent in arcu vitae erat sodales consequat, nam tellus purus volutpat.",
+    "Sed lacus ligula, sodales id vehicula at, semper a turpis curabitur.",
+    "Vivamus ut lectus quam, venenatis posuere erat sed pellentesque suscipit.",
+    "Nulla adipiscing metus in nulla condimentum non mattis lacus tempus.",
+    "Phasellus sed ipsum in felis molestie molestie, sed sagittis massa orci.",
+    "Cras eget feugiat nulla, nunc lacus turpis porttitor eget congue quis.",
+    "Suspendisse eu est sed ligula pretium blandit, proin eget metus nisl.",
+)
+
+
+def _det_int(conv_idx, turn_idx, salt=""):
+    """Deterministic pseudo-random int from the row coordinates."""
+    digest = hashlib.sha256(f"{conv_idx}:{turn_idx}:{salt}".encode()).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+def _lorem_paragraphs(conv_idx, turn_idx, n_paragraphs, sentences_each=4):
+    paragraphs = []
+    for p in range(n_paragraphs):
+        r = _det_int(conv_idx, turn_idx, f"lorem{p}")
+        parts = [
+            _LOREM_SENTENCES[(r + i) % len(_LOREM_SENTENCES)] for i in range(sentences_each)
+        ]
+        paragraphs.append("<p>" + " ".join(parts) + "</p>")
+    return "".join(paragraphs)
+
+
+def _article_page(conv_idx, turn_idx):
+    """A page-like payload: title, nav junk, sidebar, real article body."""
+    body = _lorem_paragraphs(conv_idx, turn_idx, 3 + _det_int(conv_idx, turn_idx, "np") % 5)
+    return (
+        f"<html><head><title>Article {conv_idx}-{turn_idx} | Synth Site</title></head>"
+        "<body>"
+        '<div id="header"><a href="/">Home</a> <a href="/about">About</a></div>'
+        f'<div id="main" class="post"><h1>Article {conv_idx}-{turn_idx}</h1>{body}</div>'
+        '<div class="sidebar"><ul><li><a href="#">Related 1</a></li>'
+        '<li><a href="#">Related 2</a></li></ul></div>'
+        '<div id="footer">copyright footer junk</div>'
+        "</body></html>"
+    )
+
+
+def _micro_payload(conv_idx, turn_idx):
+    """Unit-test shaped micro payloads (FIXTURES.md §3c)."""
+    shapes = (
+        '<div class="sidebar">Some content.</div>',
+        '<div id="article" class="sidebar"><a href="#">Some widget</a></div>',
+        '<div>text node1<a href="#">Link</a>text node2</div>',
+        "some text<br /><br />some other text",
+        "<font>styled text here</font>",
+        "<html><body></body></html>",
+        "<body><p>Some paragraph.</p><p>Some paragraph.</p>some text</body>",
+        "<p>1.&nbsp; Item 1. A list item with a non-breaking space.</p>",
+        "a &raquo; b &amp; c entity soup",
+    )
+    return shapes[_det_int(conv_idx, turn_idx, "micro") % len(shapes)]
+
+
+def _chat_text(conv_idx, turn_idx):
+    r = _det_int(conv_idx, turn_idx, "chat")
+    words = [
+        _LOREM_SENTENCES[(r + i) % len(_LOREM_SENTENCES)].split()[i % 5]
+        for i in range(3 + r % 10)
+    ]
+    return "ok, " + " ".join(words)
+
+
+def load_fixture_payloads():
+    """The 9 reference end-to-end fixtures as payload strings (empty list
+    when the reference checkout is absent)."""
+    if not _FIXTURE_DIR.is_dir():
+        return []
+    out = []
+    for n in range(1, 10):
+        path = _FIXTURE_DIR / f"SampleInput_{n:02d}.html"
+        if path.is_file():
+            out.append(path.read_text(encoding="utf-8"))
+    return out
+
+
+def _turn_count(conv_idx, long_every=97, short_min=2, short_max=12, long_factor=50):
+    if long_every and conv_idx % long_every == 0:
+        return short_max * long_factor  # skewed long conversation
+    return short_min + _det_int(conv_idx, 0, "len") % (short_max - short_min + 1)
+
+
+def payload_for(conv_idx, turn_idx, fixtures):
+    """Deterministic payload class selection (FIXTURES.md §4)."""
+    k = (conv_idx + turn_idx) % 12
+    if k == 0 and fixtures:
+        return fixtures[(conv_idx + turn_idx) % len(fixtures)]
+    if k in (1, 2, 3):
+        return _article_page(conv_idx, turn_idx)
+    if k in (4, 5):
+        return _micro_payload(conv_idx, turn_idx)
+    if k == 6:
+        return ""  # negative row: empty text
+    if k == 7:
+        return None  # negative row: null text
+    if k == 8:
+        return _article_page(conv_idx, turn_idx) + "<script>junk()</script>"  # after </html>
+    return _chat_text(conv_idx, turn_idx)
+
+
+def generate_conversation(conv_idx, fixtures, long_every=97):
+    """All rows of one conversation, as plain tuples."""
+    rows = []
+    n_turns = _turn_count(conv_idx, long_every=long_every)
+    conv_id = f"conv{conv_idx:08d}"
+    for turn_idx in range(n_turns):
+        role = _ROLES[turn_idx % 3]
+        rows.append(
+            (
+                conv_id,
+                turn_idx,
+                role,
+                payload_for(conv_idx, turn_idx, fixtures),
+                f"tool_{turn_idx % 5}" if role == "tool" else None,
+                _BASE_TS + datetime.timedelta(seconds=conv_idx * 60 + turn_idx),
+            )
+        )
+    return rows
+
+
+def transcripts_df(spark, n_convs, long_every=97, num_partitions=None):
+    """Distributed deterministic transcripts DataFrame.
+
+    ``spark.range(n_convs)`` -> ``mapInPandas`` keeps generation parallel
+    and memory-bounded (one conversation at a time per iterator step).
+    """
+    import pandas as pd  # local import: keep module importable w/o pandas
+
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        fixtures = load_fixture_payloads()
+        columns = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        for batch in batches:
+            for conv_idx in batch["id"]:
+                rows = generate_conversation(int(conv_idx), fixtures, long_every=long_every)
+                yield pd.DataFrame(rows, columns=columns)
+
+    return (
+        spark.range(0, n_convs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+    )
+
+
+def write_transcripts(spark, n_convs, path, long_every=97, num_partitions=None):
+    df = transcripts_df(spark, n_convs, long_every=long_every, num_partitions=num_partitions)
+    df.write.mode("overwrite").parquet(path)
+    return path
