@@ -1,0 +1,112 @@
+"""Tokenization / shingling expression builders + DuckDB twins.
+
+All JVM-side (split/posexplode/window) — the tokenizer used by dedup,
+language-ID, token counting and quality scoring. The DuckDB twin of
+each construct lives beside it; oracle queries are assembled from these
+so the two engines can never drift apart silently.
+
+Token model (deliberately simple and portable): lowercase, split on
+runs of whitespace, empty tokens dropped. A BPE-ish subword count is
+provided as a separate *estimate* expression (regex-based, no external
+tokenizer in the sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# split on whitespace runs; trim first so no boundary empties
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """array<string> of lowercase whitespace tokens (empty array for
+    null/blank input)."""
+    t = F.split(F.trim(F.lower(col)), _WS)
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN [] "
+        f"ELSE string_split_regex(trim(lower({expr})), '\\s+') END"
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+# BPE-ish subword count estimate: word chunks of <=4 chars + digits +
+# punctuation each count as one token (regexp over the raw text; a
+# cheap, deterministic stand-in for a real BPE vocabulary).
+def bpe_token_estimate(col: Column) -> Column:
+    chunks = F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0)
+    return F.size(chunks)
+
+
+def bpe_token_estimate_sql(expr: str) -> str:
+    return (
+        "len(regexp_extract_all(lower(" + expr + "), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]'))"
+    )
+
+
+def exploded_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, tok) — one row per token, 0-based position."""
+    return df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+
+
+def exploded_tokens_sql(table: str, text_expr: str = "text", id_col: str = "doc_id") -> str:
+    # DuckDB 1.0 has no WITH ORDINALITY; parallel unnest zips the token
+    # list with a 0-based range, matching Spark's posexplode
+    return (
+        f"SELECT {id_col}, CAST(unnest(range(len(toks))) AS INT) AS pos, "
+        f"unnest(toks) AS tok "
+        f"FROM (SELECT {id_col}, {tokens_sql(text_expr)} AS toks FROM {table}) tk"
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """DISTINCT n-word shingles per document: (id, shingle).
+
+    Built with lead() over the token stream — identical construction is
+    expressible in DuckDB, guaranteeing oracle parity. The window is
+    partitioned by document, so at scale this shuffles by doc id once
+    and stays fully JVM-side.
+    """
+    from pyspark.sql import Window
+
+    tok = exploded_tokens(df, id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
+                    *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)])
+    cond = None
+    for i in range(1, n):
+        c = F.col(f"_t{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    if cond is not None:
+        sh = sh.where(cond)
+    return sh.select(id_col, "shingle").distinct()
+
+
+def word_shingles_sql(table: str, n: int = 3, text_expr: str = "text", id_col: str = "doc_id") -> str:
+    toks = exploded_tokens_sql(table, text_expr, id_col)
+    leads = ["tok"] + [
+        f"lead(tok, {i}) OVER (PARTITION BY {id_col} ORDER BY pos)" for i in range(1, n)
+    ]
+    lead_cols = ", ".join(f"{e} AS t{j}" for j, e in enumerate(leads))
+    non_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n))
+    concat = " || ' ' || ".join(f"t{j}" for j in range(n))
+    return (
+        f"SELECT DISTINCT {id_col}, {concat} AS shingle "
+        f"FROM (SELECT {id_col}, pos, {lead_cols} FROM ({toks}) base) leads "
+        f"WHERE {non_null}"
+    )

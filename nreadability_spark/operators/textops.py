@@ -1,0 +1,253 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline text ops: token counting, quality scoring,
+language identification, and document fingerprinting. Every operator is
+a pure Catalyst expression pipeline (whole-stage codegen, zero Python)
+with a DuckDB-SQL twin for the correctness oracle.
+
+Scale notes (100 TB): all four are single-pass scans with at most one
+hash aggregation; no joins, no Python workers. The per-document ops
+(quality, lang-id, fingerprint) are embarrassingly parallel; the only
+shuffle is the final groupBy in ``token_stats`` (partial aggregation
+pushes the heavy work map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nreadability_spark.functions import hashing
+from nreadability_spark.functions import text as tx
+
+# fixed marker lists for the language-ID heuristic. The synthetic corpus
+# is an English word-soup, so real-language markers barely fire — the
+# point is the *operator* (deterministic scoring + argmax), which at
+# scale would load per-language n-gram tables the same way.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "value", "fast"),
+    "de": ("der", "die", "und", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "por"),
+    "zh": ("de5", "shi4", "le5"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")  # deterministic tie-break
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text(col):
+    """Normalized text for fingerprinting: lowercase, whitespace runs
+    collapsed to single spaces, trimmed."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _norm_text_sql(expr):
+    return f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+
+
+# --- token stats -------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select(
+            "lang",
+            tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            tx.bpe_token_estimate(F.col("text")).cast("long").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens
+FROM (
+  SELECT lang,
+         CAST({tx.token_count_sql('text')} AS BIGINT) AS n_tokens,
+         CAST({tx.bpe_token_estimate_sql('text')} AS BIGINT) AS n_bpe
+  FROM documents
+) t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- quality scoring ---------------------------------------------------
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(n_distinct / F.greatest(n_tok, F.lit(1)), 4).alias("ttr"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(
+            (F.length(F.regexp_replace(F.col("text"), r"\s+", "")))
+            / F.greatest(n_tok, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+    return out.withColumn(
+        "quality_ok",
+        ((F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 1000) & (F.col("ttr") >= 0.05))
+        .cast("int"),
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = tx.tokens_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(toks, t -> t IN ({stop_list}))) AS BIGINT) AS stop_hits,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace
+  FROM (SELECT doc_id, text, {toks} AS toks FROM documents) t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_distinct / greatest(n_tokens, 1), 4) AS ttr,
+       round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       round(n_nonspace / greatest(n_tokens, 1), 4) AS avg_token_len,
+       CAST(n_tokens >= 50 AND n_tokens <= 1000
+            AND round(n_distinct / greatest(n_tokens, 1), 4) >= 0.05 AS INT) AS quality_ok
+FROM base
+ORDER BY doc_id
+"""
+
+
+QUALITY_SQL = _quality_sql()
+
+
+# --- language identification ------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    out = docs.select("doc_id", "lang", toks.alias("toks"))
+    def _marker_hits(markers):
+        # single-arg lambda (a 2-arg lambda would be read as (elem, idx))
+        return lambda t: t.isin(*markers)
+
+    for lang in LANG_ORDER:
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(F.col("toks"), _marker_hits(LANG_MARKERS[lang]))).cast("long"),
+        )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_ORDER])
+    pred = F.lit("unknown")
+    # first language (in LANG_ORDER) achieving the max wins; build the
+    # CASE chain back-to-front so earlier langs take precedence
+    for lang in reversed(LANG_ORDER):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    return (
+        out.withColumn("pred_lang", pred)
+        .select(
+            "doc_id",
+            F.col("lang").alias("label_lang"),
+            "pred_lang",
+            *[f"score_{lg}" for lg in LANG_ORDER],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang in LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({markers}))) AS BIGINT) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in LANG_ORDER
+    ) + " ELSE 'unknown' END"
+    scores = ",\n         ".join(score_cols)
+    score_list = ", ".join(f"score_{lg}" for lg in LANG_ORDER)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS label_lang, {scores}
+  FROM (SELECT doc_id, lang, {tx.tokens_sql('text')} AS toks FROM documents) t
+)
+SELECT doc_id, label_lang, {case} AS pred_lang, {score_list}
+FROM scored
+ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# --- fingerprinting ----------------------------------------------------
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (h60 of normalized text) + bottom-sketch
+    (minimum shingle hash — the 1-element bottom-k sketch; at scale
+    bottom-k feeds containment estimation the same way)."""
+    docs = load_documents(spark, sf_dir)
+    sh = tx.word_shingles(docs, n=3)
+    sketch = sh.groupBy("doc_id").agg(
+        F.min(hashing.h60(F.col("shingle"))).alias("bottom_shingle_hash")
+    )
+    fp = docs.select("doc_id", hashing.h60(_norm_text(F.col("text"))).alias("fp60"))
+    return (
+        fp.join(sketch, "doc_id", "left")
+        .select("doc_id", "fp60", "bottom_shingle_hash")
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINTS_SQL = f"""
+WITH sketch AS (
+  SELECT doc_id, min({hashing.h60_sql('shingle')}) AS bottom_shingle_hash
+  FROM ({tx.word_shingles_sql('documents', 3)}) sh
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {hashing.h60_sql(_norm_text_sql('d.text'))} AS fp60,
+       s.bottom_shingle_hash
+FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_scores": quality_scores,
+    "text_lang_id": lang_id,
+    "text_fingerprints": fingerprints,
+}
+
+ORACLES = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality_scores": QUALITY_SQL,
+    "text_lang_id": LANG_ID_SQL,
+    "text_fingerprints": FINGERPRINTS_SQL,
+}

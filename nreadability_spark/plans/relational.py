@@ -1,0 +1,315 @@
+"""Relational query pack over the TPC-H-ish testdata tables.
+
+Covers the engine-level operator categories from SURVEY.md §2.2 —
+scan/projection/filter, hash & broadcast joins, anti/semi joins,
+aggregation, rollup/grouping sets, window functions, sort/top-k, set
+ops — each as a (spark, sf_dir) callable plus a DuckDB oracle twin.
+
+Scale notes baked into the plans:
+- dimension tables (region, nation, customer at 100 TB scale-factors
+  still tiny relative to facts) are broadcast explicitly so the fact
+  scan never shuffles for the join;
+- aggregations run on pre-projected narrow columns so partial
+  aggregation is cheap map-side;
+- top-k uses window rank bounded by a filter, which AQE executes as a
+  partial top-k per partition (TakeOrderedAndProject for global sorts);
+- date filters are native predicates -> parquet row-group pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- Q1-style pricing summary (filter + hash agg + sort) ---------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty_raw"),
+            F.sum("l_extendedprice").alias("sum_base_raw"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_raw"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+            F.round("sum_base_raw", 2).alias("sum_base_price"),
+            F.round("sum_disc_raw", 2).alias("sum_disc_price"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- revenue by nation (broadcast dim joins + agg) ---------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+ORDER BY region_name, nation_name
+"""
+
+
+# --- top-k orders (join + global top-k) --------------------------------
+
+def top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_name")),
+                    orders.o_custkey == cust.c_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "o_orderkey", "c_name",
+                F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy("rank")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT rank, o_orderkey, c_name, round(o_totalprice, 2) AS total_price
+FROM (
+  SELECT o.o_orderkey, c.c_name, o.o_totalprice,
+         row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) t
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+# --- windowed event sequences (partitioned window fns) -----------------
+
+def user_event_sequences(spark: SparkSession, sf_dir: str, first_n: int = 3) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("seq", F.row_number().over(w))
+        .withColumn("running_value", F.round(F.sum("value").over(cum), 4))
+        .where(F.col("seq") <= first_n)
+        .select("user_id", "seq", "event_id", "event_type", "running_value")
+        .orderBy("user_id", "seq")
+    )
+
+
+USER_EVENT_SEQUENCES_SQL = """
+SELECT user_id, seq, event_id, event_type, running_value
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+  FROM events
+) t
+WHERE seq <= 3
+ORDER BY user_id, seq
+"""
+
+
+# --- customers without orders (anti join) ------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(),
+                  cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+# --- order priority rollup (grouping sets) -----------------------------
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+# --- daily event summary (distinct agg + date bucketing) ---------------
+
+def daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_EVENT_SUMMARY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# --- brand revenue (fact-to-dim shuffle join; AQE picks strategy) ------
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # no broadcast hint: part grows with SF, so let AQE choose
+    # broadcast vs shuffle join from runtime sizes
+    return (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_REVENUE_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- set ops: suppliers vs customers nations (intersect/except) --------
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c_nations = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s_nations = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c_nations.intersect(s_nations).withColumn("side", F.lit("both"))
+    cust_only = c_nations.exceptAll(s_nations).withColumn("side", F.lit("customer_only"))
+    return both.unionAll(cust_only).orderBy("side", "nationkey")
+
+
+NATION_SET_OPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS side FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s) t
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s) t
+ORDER BY side, nationkey
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": pricing_summary,
+    "rel_revenue_by_nation": revenue_by_nation,
+    "rel_top_orders": top_orders,
+    "rel_user_event_sequences": user_event_sequences,
+    "rel_customers_without_orders": customers_without_orders,
+    "rel_brand_revenue": brand_revenue,
+    "rel_order_priority_rollup": order_priority_rollup,
+    "rel_daily_event_summary": daily_event_summary,
+    "rel_nation_set_ops": nation_set_ops,
+}
+
+ORACLES = {
+    "rel_pricing_summary": PRICING_SUMMARY_SQL,
+    "rel_revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "rel_top_orders": TOP_ORDERS_SQL,
+    "rel_user_event_sequences": USER_EVENT_SEQUENCES_SQL,
+    "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "rel_brand_revenue": BRAND_REVENUE_SQL,
+    "rel_order_priority_rollup": ORDER_PRIORITY_ROLLUP_SQL,
+    "rel_daily_event_summary": DAILY_EVENT_SUMMARY_SQL,
+    "rel_nation_set_ops": NATION_SET_OPS_SQL,
+}
