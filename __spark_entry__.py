@@ -31,7 +31,7 @@ def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nreadability_spark.operators.extract import extract_columns
 
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     out = extract_columns(
         docs.select("doc_id", "text"), include_html=False
     )
@@ -45,6 +45,14 @@ def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _salted(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before a Python-UDF stage: a
+    single parquet file arrives as one split, which would serialize the
+    extraction; 2x parallelism is the measured per-task sweet spot."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.xxhash64("doc_id"))
+
+
 def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction over documents wrapped in a deterministic page shell
     (header/sidebar/footer boilerplate around a content div) — the
@@ -52,7 +60,7 @@ def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nreadability_spark.operators.extract import extract_columns
 
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     page = F.concat(
         F.lit("<html><head><title>Document "),
         F.col("doc_id").cast("string"),

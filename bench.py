@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query runs against the `noop` sink, which forces full execution of
+the plan (no collect bottleneck on the driver, no output I/O) — the
+closest local analogue of "write to the lake".
+
+The extraction throughput measurement (the BASELINE.json headline
+metric, turns/sec) runs the full north-rule pipeline — deterministic
+synthetic transcripts (reference fixtures embedded) -> Arrow-batched
+extraction UDF -> conversation window — and reports turns/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_brand_revenue",
+    "rel_user_event_sequences",
+    "rel_order_priority_rollup",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_fingerprints",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_knn_brute_force",
+    "sim_knn_ivf",
+    "multimodal_decode_meta",
+    "extract_doc_pages",
+]
+
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400"))
+
+
+def _noop_run(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nreadability_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="nreadability-bench",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # JVM / codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _noop_run(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    # headline extraction throughput: full pipeline on synthetic
+    # transcripts (fixtures embedded), timed end to end
+    from nreadability_spark.plans.extract_job import extract_transcripts
+    from nreadability_spark.sources.synth import transcripts_df
+
+    src = transcripts_df(spark, n_convs=BENCH_CONVS).cache()
+    n_turns = src.count()  # materialize the input outside the timed region
+    # warm ALL python workers (a limit() slice would collapse to one
+    # partition and warm a single worker; one tiny task per core slot
+    # warms every worker's package import + regex compile)
+    warm = spark.range(0, cpus * 4, numPartitions=cpus * 4).selectExpr(
+        "cast(id as string) conv_id", "0 turn_idx", "'u' role",
+        "'<p>warmup text</p>' text", "'t' tool", "current_timestamp() ts")
+    _noop_run(extract_transcripts(warm, include_html=False, salt_partitions=None))
+    t0 = time.monotonic()
+    _noop_run(extract_transcripts(src, include_html=False))
+    extract_sec = time.monotonic() - t0
+    times["extract_transcripts"] = round(extract_sec, 3)
+    src.unpersist()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum) at sf%s on local[%d]"
+                % (sf, cpus),
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "extract_turns": n_turns,
+                "extract_turns_per_sec": round(n_turns / extract_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
