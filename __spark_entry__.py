@@ -111,10 +111,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries():
-    from nreadability_spark.operators import dedup, multimodal, similarity, textops
+    from nreadability_spark.operators import dedup, multimodal, similarity, stitch, textops
     from nreadability_spark.plans import relational
 
-    modules = (relational, textops, dedup, similarity, multimodal)
+    modules = (relational, textops, dedup, similarity, multimodal, stitch)
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

@@ -1,0 +1,195 @@
+"""Operator-level tests: dedup / similarity / text analysis /
+multimodal / relational queries, each checked against its DuckDB oracle
+twin at sf0.001 (the same comparison the driver runs at sf0.01), plus
+behavioral properties the oracle can't express.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(round(v, 9))
+    return repr(v)
+
+
+def assert_matches_oracle(sdf, sql, duck):
+    spark_rows = sdf.collect()
+    cols = sorted(sdf.columns)
+    res = duck.sql(sql)
+    assert sorted(res.columns) == cols
+    dmap = {c: i for i, c in enumerate(res.columns)}
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    s_sorted = sorted(tuple(_canon(r[c]) for c in cols) for r in spark_rows)
+    d_sorted = sorted(tuple(_canon(r[dmap[c]]) for c in cols) for r in duck_rows)
+    assert s_sorted == d_sorted
+
+
+# --- representative oracle-parity checks (one per module) --------------
+
+def test_token_stats_matches_oracle(spark, duck):
+    from nreadability_spark.operators import textops
+
+    assert_matches_oracle(
+        textops.token_stats(spark, SF_DIR), textops.TOKEN_STATS_SQL, duck
+    )
+
+
+def test_minhash_lsh_matches_oracle(spark, duck):
+    from nreadability_spark.operators import dedup
+
+    assert_matches_oracle(
+        dedup.minhash_lsh_pairs(spark, SF_DIR), dedup.ORACLES["dedup_minhash_lsh"], duck
+    )
+
+
+def test_knn_brute_force_matches_oracle(spark, duck):
+    from nreadability_spark.operators import similarity
+
+    assert_matches_oracle(
+        similarity.knn_brute_force(spark, SF_DIR),
+        similarity.ORACLES["sim_knn_brute_force"],
+        duck,
+    )
+
+
+def test_multimodal_matches_oracle(spark, duck):
+    from nreadability_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.multimodal_metadata(spark, SF_DIR),
+        multimodal.ORACLES["multimodal_decode_meta"],
+        duck,
+    )
+
+
+def test_pricing_summary_matches_oracle(spark, duck):
+    from nreadability_spark.plans import relational
+
+    assert_matches_oracle(
+        relational.pricing_summary(spark, SF_DIR),
+        relational.PRICING_SUMMARY_SQL,
+        duck,
+    )
+
+
+# --- behavioral properties ---------------------------------------------
+
+def test_lsh_recalls_all_jaccard_pairs(spark):
+    """Every pair found by the exact n-gram Jaccard scan must also be
+    found by MinHash+LSH at the same threshold (banding recall)."""
+    from nreadability_spark.operators import dedup
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture corpus should contain near-duplicate pairs"
+    missing = exact - lsh
+    assert not missing, f"LSH missed {len(missing)} of {len(exact)} exact pairs"
+
+
+def test_simhash_pairs_have_low_hamming(spark):
+    from nreadability_spark.operators import dedup
+
+    rows = dedup.simhash_pairs(spark, SF_DIR).collect()
+    assert all(0 <= r["hamming"] <= dedup.SIMHASH_MAX_DIST for r in rows)
+
+
+def test_exact_dedup_covers_all_docs(spark):
+    from nreadability_spark.operators import dedup
+
+    groups = dedup.exact_dedup_groups(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in groups) == n_docs
+
+
+def test_knn_self_excluded_and_ranked(spark):
+    from nreadability_spark.operators import similarity
+
+    rows = similarity.knn_brute_force(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["vec_id"] != similarity.QUERY_VEC_ID for r in rows)
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_is_subset_of_brute_force_space(spark):
+    """IVF results must be genuine vectors with correct cosine values:
+    every IVF hit appears in the brute-force ranking with the same
+    cosine (IVF may *miss* neighbors, never invent them)."""
+    from nreadability_spark.operators import similarity
+
+    brute = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.knn_brute_force(spark, SF_DIR, k=10**6).collect()
+    }
+    for r in similarity.knn_ivf(spark, SF_DIR).collect():
+        assert r["vec_id"] in brute
+        assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
+def test_multimodal_real_decode_is_gated(spark):
+    from nreadability_spark.operators import multimodal
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    df = multimodal.decode_metadata(payloads, decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        df.collect()
+
+
+def test_lang_id_predicts_only_known_labels(spark):
+    from nreadability_spark.operators import textops
+
+    rows = textops.lang_id(spark, SF_DIR).collect()
+    allowed = set(textops.LANG_ORDER) | {"unknown"}
+    assert all(r["pred_lang"] in allowed for r in rows)
+
+
+# --- plan-shape assertions (scale contracts) ---------------------------
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    from nreadability_spark.plans import relational
+
+    plan = relational.revenue_by_nation(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_prefilter_reaches_scan(spark, tmp_path):
+    """The null/empty-text prefilter must be pushed into the parquet
+    scan, not evaluated after the Python stage."""
+    from nreadability_spark.plans.extract_job import extract_transcripts
+    from nreadability_spark.sources.synth import transcripts_df
+
+    path = str(tmp_path / "t.parquet")
+    transcripts_df(spark, 5).write.parquet(path)
+    df = extract_transcripts(spark.read.parquet(path), include_html=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(text)" in plan
