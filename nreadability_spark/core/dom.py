@@ -371,16 +371,28 @@ class Element(_Container):
     # -- serialization ----------------------------------------------------------
 
     def to_html(self):
-        out = ["<", self.name]
-        for k, v in self.attrs.items():
-            out.append(f' {k}="{escape_attr(v)}"')
-        if self.children:
-            out.append(">")
-            for child in self.children:
-                out.append(child.to_html())
-            out.append(f"</{self.name}>")
-        else:
-            out.append(" />")
+        # iterative (explicit stack): serialization depth equals DOM
+        # depth, and hostile rows nest thousands deep
+        out = []
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                out.append(node)
+            elif isinstance(node, Element):
+                out.append("<")
+                out.append(node.name)
+                for k, v in node.attrs.items():
+                    out.append(f' {k}="{escape_attr(v)}"')
+                if node.children:
+                    out.append(">")
+                    stack.append(f"</{node.name}>")
+                    for child in reversed(node.children):
+                        stack.append(child)
+                else:
+                    out.append(" />")
+            else:
+                out.append(node.to_html())  # Text / Comment leaf
         return "".join(out)
 
     def __repr__(self):  # pragma: no cover - debug aid
@@ -428,21 +440,33 @@ class Document(_Container):
         return self.inner_html()
 
 
-def clone_node(node):
-    """Deep copy of a node, detached."""
+def _shallow_clone(node):
     if isinstance(node, Text):
         return Text(node.value)
     if isinstance(node, Comment):
         return Comment(node.value)
     if isinstance(node, Element):
-        copy = Element(node.name, node.attrs)
-        for child in node.children:
-            fresh = clone_node(child)
-            fresh.parent = copy
-            fresh._pos = len(copy.children)
-            copy.children.append(fresh)
-        return copy
+        return Element(node.name, node.attrs)
     raise TypeError(f"cannot clone {type(node).__name__}")
+
+
+def clone_node(node):
+    """Deep copy of a node, detached (iterative: clone depth equals DOM
+    depth)."""
+    root = _shallow_clone(node)
+    if not isinstance(node, Element):
+        return root
+    stack = [(node, root)]
+    while stack:
+        src, dst = stack.pop()
+        for child in src.children:
+            fresh = _shallow_clone(child)
+            fresh.parent = dst
+            fresh._pos = len(dst.children)
+            dst.children.append(fresh)
+            if isinstance(child, Element):
+                stack.append((child, fresh))
+    return root
 
 
 # --- serialization escapes ---------------------------------------------------
@@ -662,14 +686,20 @@ def build_document(html_content):
 def traverse_elements(element, visitor):
     """Pre-order element walk that is safe under visitor mutation: the
     next sibling is captured before visiting a child, and a detached
-    node's next sibling is None (ElementsTraverser.cs:46-63)."""
+    node's next sibling is None (ElementsTraverser.cs:46-63). Iterative
+    — the explicit stack holds the pending sibling per depth, so walk
+    depth never hits the Python recursion limit."""
     visitor(element)
-    child = element.first_node() if isinstance(element, _Container) else None
-    while child is not None:
-        nxt = child.next_node()
+    stack = [element.first_node() if isinstance(element, _Container) else None]
+    while stack:
+        child = stack[-1]
+        if child is None:
+            stack.pop()
+            continue
+        stack[-1] = child.next_node()  # capture before visiting (ET:50-61)
         if isinstance(child, Element):
-            traverse_elements(child, visitor)
-        child = nxt
+            visitor(child)
+            stack.append(child.first_node())
 
 
 def traverse_child_nodes(container, visitor):

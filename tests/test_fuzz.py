@@ -1,0 +1,75 @@
+"""Property-based robustness tests (hypothesis).
+
+A 10^12-row table WILL contain every malformed byte sequence that can
+fit in a string column; the extraction core must be total (never raise)
+and deterministic on all of them, and the serializer must be stable
+under reparse.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nreadability_spark.core import extract
+from nreadability_spark.core.dom import build_document
+
+# HTML-ish soup: tags (balanced or not), entities, attribute junk, text
+_tag_names = st.sampled_from(
+    ["div", "p", "span", "a", "table", "tr", "td", "li", "ul", "script",
+     "style", "br", "img", "h1", "font", "body", "html", "custom-x"]
+)
+_fragments = st.one_of(
+    st.text(alphabet=string.printable, max_size=40),
+    _tag_names.map(lambda t: f"<{t}>"),
+    _tag_names.map(lambda t: f"</{t}>"),
+    _tag_names.map(lambda t: f"<{t} class='sidebar' id=x>"),
+    st.sampled_from(["&amp;", "&raquo;", "&#65;", "&bogus;", "&", "<", ">",
+                     "<!-- c -->", "<!DOCTYPE html>", "<![CDATA[x]]>", "\x00",
+                     "<p", "='", '"', "<a href=", "</", "<>", "</>"]),
+)
+_html_soup = st.lists(_fragments, max_size=60).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_soup)
+def test_extract_is_total_and_deterministic(soup):
+    r1 = extract(soup)
+    r2 = extract(soup)
+    assert r1.content_text == r2.content_text
+    assert r1.content_html == r2.content_html
+    assert r1.extracted == r2.extracted
+    assert isinstance(r1.html, str)
+
+
+_soup_no_rawtext = st.lists(
+    _fragments.filter(lambda s: "script" not in s and "style" not in s),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup_no_rawtext)
+def test_serializer_reparse_is_stable(soup):
+    """serialize(parse(x)) must be a fixed point: parsing the serialized
+    form and serializing again yields identical bytes. This is what the
+    serialized-fragment regex stages (O4/O14/O19) rely on.
+
+    Rawtext elements (script/style) are excluded: SgmlReader parses
+    their content as CDATA while XLinq serialization escapes text, so
+    script text cannot round-trip IN THE REFERENCE EITHER — and the
+    pipeline never reparses them (PrepareDocument removes scripts,
+    NRT:604-615, before any serialized-fragment stage runs)."""
+    doc1 = build_document(soup)
+    s1 = doc1.to_html()
+    doc2 = build_document(s1)
+    s2 = doc2.to_html()
+    assert s1 == s2
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=100, max_value=3000))
+def test_deeply_nested_input_does_not_crash(depth):
+    html = "<div>" * depth + "content here" + "</div>" * depth
+    r = extract(html)
+    assert isinstance(r.extracted, bool)
