@@ -232,12 +232,15 @@ class _Run:
         _remove_elements(list(root_element.get_elements_by_tag_name("style")))
 
         # double <br> -> <p>, <font> -> <span> on the serialized body, then
-        # reparse (NRT:630-637). Always reparsed, as in the reference — the
-        # serialize/parse round trip is part of the observable semantics.
-        body_inner = document_body.inner_html()
-        body_inner = regexes.REPLACE_DOUBLE_BRS_RE.sub("<p></p>", body_inner)
-        body_inner = regexes.REPLACE_FONTS_RE.sub(r"<\g<1>span>", body_inner)
-        document_body.set_inner_html(body_inner)
+        # reparse (NRT:630-637)
+        _serialized_regex_pass(
+            document_body,
+            [
+                (regexes.REPLACE_DOUBLE_BRS_RE, "<p></p>"),
+                (regexes.REPLACE_FONTS_RE, r"<\g<1>span>"),
+            ],
+            ("br", "font"),
+        )
 
     # -- title (NRT:640-691) ----------------------------------------------------
 
@@ -310,7 +313,7 @@ class _Run:
                 return
 
             if element_name == "div":
-                if not regexes.DIV_TO_P_ELEMENTS_RE.search(element.inner_html()):
+                if not _div_inner_html_has_block_element(element):
                     # no block elements inside: rename to p (NRT:812)
                     element.name = "p"
                 else:
@@ -478,8 +481,8 @@ class _Run:
         _remove_elements(to_remove)
 
         # remove br's directly before paragraphs (NRT:1076)
-        article.set_inner_html(
-            regexes.BREAK_BEFORE_PARAGRAPH_RE.sub("<p", article.inner_html())
+        _serialized_regex_pass(
+            article, [(regexes.BREAK_BEFORE_PARAGRAPH_RE, "<p")], ("br",)
         )
 
     # -- metrics ---------------------------------------------------------------------------------
@@ -535,7 +538,7 @@ class _Run:
 
     def kill_breaks(self, element):
         """NRT:1189-1192."""
-        element.set_inner_html(regexes.KILL_BREAKS_RE.sub("<br />", element.inner_html()))
+        _serialized_regex_pass(element, [(regexes.KILL_BREAKS_RE, "<br />")], ("br",))
 
     def clean(self, root_element, element_name):
         """Remove descendants by tag, sparing youtube/vimeo embeds
@@ -791,6 +794,83 @@ class _Run:
 
 
 # --- module-level pure helpers ------------------------------------------------------
+
+
+def _serialized_regex_pass(element, regex_repl_pairs, trigger_prefixes):
+    """Run serialize -> regex-substitute -> SetInnerHtml, with both the
+    serialization and the reparse elided when they provably change
+    nothing.
+
+    Every regex in these stages requires a literal ``<br``/``<font``
+    (etc.) in the serialized form. Text and attribute values serialize
+    with ``<`` escaped, so only (a) elements whose name starts with a
+    trigger prefix and (b) raw comment bodies can produce a match; when
+    neither exists, the substitution is a no-op and only RemoveAll's
+    attribute clearing remains observable. Prefix matching (not exact
+    names) keeps this a conservative superset: an unknown ``<brx>``
+    element also matches ``<br[^>]*>`` and takes the slow path.
+    """
+    needs_pass = False
+    for node in element.descendant_nodes():
+        if isinstance(node, Element):
+            if node.name.startswith(trigger_prefixes):
+                needs_pass = True
+                break
+        elif isinstance(node, Comment):
+            raw = node.to_html()
+            if any(rx.search(raw) for rx, _repl in regex_repl_pairs):
+                needs_pass = True
+                break
+    if not needs_pass:
+        element.attrs.clear()
+        return
+    inner = element.inner_html()
+    new_inner = inner
+    for rx, repl in regex_repl_pairs:
+        new_inner = rx.sub(repl, new_inner)
+    _rewrite_inner_html(element, inner, new_inner)
+
+
+def _rewrite_inner_html(element, old_inner, new_inner):
+    """``element.SetInnerHtml(new_inner)`` with the reparse elided when
+    it provably cannot change anything.
+
+    The reference always reparses (DomExtensions.cs:238-263). Skipping
+    is exactly equivalent when (a) the regex stage changed nothing
+    (``new_inner == old_inner``, the overwhelmingly common case) and
+    (b) the subtree holds no rawtext elements — script/style parse
+    their content as CDATA while serialization escapes it, so ONLY
+    those elements can make parse(serialize(T)) differ from T (the
+    serializer never emits whitespace-only text nodes, implied tags, or
+    unescaped markup; the fixed-point property is covered by the fuzz
+    suite). ``XElement.RemoveAll``'s attribute clearing is observable
+    (e.g. the article div loses its id in KillBreaks) and is preserved
+    on the skip path.
+    """
+    if new_inner == old_inner and not any(
+        e.name in ("script", "style") for e in element.descendants()
+    ):
+        element.attrs.clear()
+        return
+    element.set_inner_html(new_inner)
+
+
+def _div_inner_html_has_block_element(element):
+    """Exactly equivalent to ``DIV_TO_P_ELEMENTS_RE.search(
+    element.inner_html())`` (NRT:806) without serializing the subtree:
+    text and attribute values serialize with ``<`` escaped, so only
+    descendant element names (serialized as ``<name``) and raw comment
+    bodies can produce a ``<tag`` match. The regex itself is applied to
+    both so prefix semantics (e.g. ``<abbr`` matching ``<a``) are
+    preserved bit-for-bit."""
+    for node in element.descendant_nodes():
+        if isinstance(node, Element):
+            if regexes.DIV_TO_P_ELEMENTS_RE.match("<" + node.name):
+                return True
+        elif isinstance(node, Comment):
+            if regexes.DIV_TO_P_ELEMENTS_RE.search(node.to_html()):
+                return True
+    return False
 
 
 def get_segments_count(s, ch):

@@ -49,6 +49,13 @@ def minhash_term(col: Column, i: int) -> Column:
     return (F.lit(a) * (h60(col) % F.lit(P)) + F.lit(b)) % F.lit(P)
 
 
+def minhash_term_from_h(h_col: Column, i: int) -> Column:
+    """Same as minhash_term but over a precomputed ``h60(x) % P`` column
+    — lets K signature slots share ONE md5 evaluation per row."""
+    a, b = _mh_params(i)
+    return (F.lit(a) * h_col + F.lit(b)) % F.lit(P)
+
+
 # --- DuckDB twins ------------------------------------------------------
 
 def h60_sql(expr: str) -> str:
@@ -58,3 +65,8 @@ def h60_sql(expr: str) -> str:
 def minhash_term_sql(expr: str, i: int) -> str:
     a, b = _mh_params(i)
     return f"(({a} * ({h60_sql(expr)} % {P}) + {b}) % {P})"
+
+
+def minhash_term_from_h_sql(h_expr: str, i: int) -> str:
+    a, b = _mh_params(i)
+    return f"(({a} * {h_expr} + {b}) % {P})"
