@@ -290,6 +290,189 @@ ORDER BY side, nationkey
 """
 
 
+# --- sessionization (gap-based; lag + running session counter) ---------
+
+def event_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when the
+    user's inter-event gap exceeds ``gap_minutes``. lag() + a running
+    sum of session starts — two window passes over one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps: gap via unix epoch of the LTZ view; offsets cancel
+    # in the difference (session tz pinned UTC for determinism)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_session).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def _event_sessions_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS new_s,
+         ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+EVENT_SESSIONS_SQL = _event_sessions_sql()
+
+
+# --- as-of join (latest order at or before each event) -----------------
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order by the same
+    key with o_orderdate <= event ts. Spark lacks a native as-of join;
+    the scalable composition is a union-merge: tag both sides, union on
+    the join key, order by time, and carry the last order forward with
+    a window — one shuffle, no row explosion (vs. the naive
+    inequality-join which is O(events x orders) per key)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.col("event_id"), F.lit(None).cast("long").alias("o_key"),
+        F.lit(1).alias("is_event"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("o_key"), F.lit(0).alias("is_event"),
+    )
+    merged = ev.unionAll(orders)
+    # orders sort before events at identical timestamps (is_event asc)
+    # => an order dated exactly at the event ts is visible to it;
+    # ties between orders break by o_key desc (latest key wins,
+    # deterministic)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"), F.col("o_key").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = merged.withColumn("asof_orderkey", F.last("o_key", ignorenulls=True).over(w))
+    return (
+        joined.where(F.col("is_event") == 1)
+        .select(F.col("event_id"), F.col("k").alias("user_id"), "asof_orderkey")
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH merged AS (
+  SELECT user_id AS k, ts AS t, event_id, CAST(NULL AS BIGINT) AS o_key, 1 AS is_event
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS t, CAST(NULL AS BIGINT) AS event_id,
+         o_orderkey AS o_key, 0 AS is_event
+  FROM orders
+),
+carried AS (
+  SELECT k, t, event_id, is_event,
+         last_value(o_key IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY t, is_event, o_key DESC NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+  FROM merged
+)
+SELECT event_id, k AS user_id, asof_orderkey
+FROM carried WHERE is_event = 1
+ORDER BY event_id
+"""
+
+
+# --- grouping sets (beyond rollup) -------------------------------------
+
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+    """)
+
+
+ORDER_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY priority, status
+"""
+
+
+# --- semi join + HAVING ------------------------------------------------
+
+def big_spenders(spark: SparkSession, sf_dir: str, min_total: float = 300000.0) -> DataFrame:
+    """Customers having aggregate order value above a threshold who
+    also placed at least one urgent order (semi join + HAVING)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    totals = (
+        orders.join(urgent, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("total_spent") > min_total)
+    )
+    return (
+        totals.join(F.broadcast(cust.select("c_custkey", "c_name")),
+                    totals.o_custkey == cust.c_custkey)
+        .select(F.col("c_custkey"), F.col("c_name"), "total_spent", "n_orders")
+        .orderBy("c_custkey")
+    )
+
+
+BIG_SPENDERS_SQL = """
+SELECT c.c_custkey, c.c_name, t.total_spent, t.n_orders
+FROM (
+  SELECT o_custkey,
+         round(sum(o_totalprice), 2) AS total_spent,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM orders u
+                WHERE u.o_custkey = o.o_custkey AND u.o_orderpriority = '1-URGENT')
+  GROUP BY o_custkey
+  HAVING round(sum(o_totalprice), 2) > 300000.0
+) t
+JOIN customer c ON t.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_revenue_by_nation": revenue_by_nation,
@@ -300,6 +483,10 @@ QUERIES = {
     "rel_order_priority_rollup": order_priority_rollup,
     "rel_daily_event_summary": daily_event_summary,
     "rel_nation_set_ops": nation_set_ops,
+    "rel_event_sessions": event_sessions,
+    "rel_asof_join": asof_join_events_orders,
+    "rel_order_grouping_sets": order_grouping_sets,
+    "rel_big_spenders": big_spenders,
 }
 
 ORACLES = {
@@ -312,4 +499,8 @@ ORACLES = {
     "rel_order_priority_rollup": ORDER_PRIORITY_ROLLUP_SQL,
     "rel_daily_event_summary": DAILY_EVENT_SUMMARY_SQL,
     "rel_nation_set_ops": NATION_SET_OPS_SQL,
+    "rel_event_sessions": EVENT_SESSIONS_SQL,
+    "rel_asof_join": ASOF_JOIN_SQL,
+    "rel_order_grouping_sets": ORDER_GROUPING_SETS_SQL,
+    "rel_big_spenders": BIG_SPENDERS_SQL,
 }

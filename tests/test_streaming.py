@@ -107,3 +107,44 @@ def test_windowed_metrics_by_event_time(spark, tmp_path, transcript_files):
         assert (r["window_end"] - r["window_start"]).total_seconds() == 60
     starts = [r["window_start"] for r in rows]
     assert len(starts) == len(set(starts))
+
+
+def test_stateful_conv_offsets_across_batches(spark, tmp_path):
+    """conv_offset computed with applyInPandasWithState over a stream
+    (conversations split across micro-batches) must equal the batch
+    window's conv_offset."""
+    from nreadability_spark.plans.extract_job import extract_transcripts
+    from nreadability_spark.sources.synth import TRANSCRIPTS_SCHEMA, transcripts_df
+    from nreadability_spark.streaming.stateful import stream_conv_offsets
+
+    src = str(tmp_path / "split_src")
+    df = transcripts_df(spark, 10)
+    # split every conversation across two files at turn_idx 3: state
+    # must carry the running total across the batch boundary
+    df.where("turn_idx < 3").coalesce(1).write.parquet(src)
+    df.where("turn_idx >= 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_conv_offsets(stream)
+        .writeStream.format("memory")
+        .queryName("conv_offsets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in spark.sql("select * from conv_offsets").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in extract_transcripts(spark.read.parquet(src), include_html=False).collect()
+    }
+    assert got == want and len(got) > 0
