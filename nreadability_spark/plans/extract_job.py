@@ -61,12 +61,71 @@ def tune_session(spark, arrow_batch_rows=512):
     return spark
 
 
+def with_conv_offsets_two_phase(df, block_size=1024, length_col="content_text"):
+    """Conversation-cumulative char offsets via a two-phase salted
+    aggregation (SURVEY.md §4.3.2) — the skew-proof alternative to the
+    plain window for pathological conversations.
+
+    The plain ``Window.partitionBy(conv_id)`` puts an entire
+    conversation in ONE task; a 10^6-turn conversation pins it (AQE can
+    split skewed *joins* but not window partitions). Two phases bound
+    every partition:
+
+    1. block sums: turns group into ``turn_idx // block_size`` blocks;
+       per-(conv, block) char sums are a hash aggregate (map-side
+       partial, no skew);
+    2. block prefix: an exclusive running sum over a conversation's
+       block sums — a window over ``n_turns / block_size`` rows per
+       conversation (10^6 turns -> ~1k rows: trivial);
+    3. within-block prefix: a window partitioned by (conv, block) —
+       at most ``block_size`` rows per partition, by construction.
+
+    ``conv_offset = block_prefix + within_block_prefix``. Exactly
+    equals the single-window result (tests assert it).
+    """
+    blk = (F.col("turn_idx") / F.lit(block_size)).cast("long")
+    out = df.withColumn("_blk", blk).withColumn(
+        "_len", F.coalesce(F.length(length_col).cast("long"), F.lit(0))
+    )
+
+    blk_sums = out.groupBy("conv_id", "_blk").agg(F.sum("_len").alias("_blk_chars"))
+    w_blk = (
+        Window.partitionBy("conv_id")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_prefix = blk_sums.select(
+        "conv_id",
+        "_blk",
+        F.coalesce(F.sum("_blk_chars").over(w_blk), F.lit(0)).alias("_blk_prefix"),
+    )
+
+    w_in = (
+        Window.partitionBy("conv_id", "_blk")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        out.join(blk_prefix, ["conv_id", "_blk"])
+        .withColumn(
+            "conv_offset",
+            (
+                F.col("_blk_prefix")
+                + F.coalesce(F.sum("_len").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_blk", "_len", "_blk_prefix")
+    )
+    return out
+
+
 def extract_transcripts(
     df,
     options=None,
     include_html=True,
     salt_partitions="auto",
     with_conv_offset=True,
+    conv_offset_strategy="window",
 ):
     """Transcripts DataFrame -> extracted DataFrame (lazy; no action).
 
@@ -92,7 +151,10 @@ def extract_transcripts(
     out = extract_columns(out, options=options, include_html=include_html)
     out = out.drop("text")
 
-    if with_conv_offset:
+    if with_conv_offset and conv_offset_strategy == "two_phase":
+        # skew-proof offsets for pathological conversations (§4.3.2)
+        out = with_conv_offsets_two_phase(out)
+    elif with_conv_offset:
         # cumulative char offset of each turn within its conversation:
         # the only conv_id-keyed shuffle in the job
         w = (

@@ -115,3 +115,49 @@ def test_hostile_rows_set_error_not_fail(spark):
     rows = {r["turn_idx"]: r for r in extract_columns(df).collect()}
     assert len(rows) == 3  # no task failure
     assert rows[1]["error"] is None
+
+
+def test_two_phase_offsets_equal_window_offsets(spark):
+    """The skew-proof two-phase offset computation (SURVEY §4.3.2) must
+    agree exactly with the plain window, including on the long skewed
+    conversation and across block boundaries."""
+    source = transcripts_df(spark, 12, long_every=5)  # several long convs
+    window_out = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in extract_transcripts(source, include_html=False).collect()
+    }
+    two_phase_out = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in extract_transcripts(
+            source, include_html=False, conv_offset_strategy="two_phase"
+        ).collect()
+    }
+    assert window_out == two_phase_out
+
+
+def test_two_phase_offsets_cross_block_carry(spark):
+    """Exercise the block-prefix carry with a block size smaller than
+    the conversations (block_size=7 over 600-turn conversations)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.plans.extract_job import with_conv_offsets_two_phase
+
+    df = transcripts_df(spark, 3, long_every=1).select(
+        "conv_id", "turn_idx", F.coalesce("text", F.lit("")).alias("content_text")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["off"]
+        for r in df.withColumn(
+            "off", F.coalesce(F.sum(F.length("content_text")).over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in with_conv_offsets_two_phase(df, block_size=7).collect()
+    }
+    assert got == want
+    assert max(t for _, t in got) >= 599  # many blocks per conversation

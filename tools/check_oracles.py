@@ -93,7 +93,8 @@ def main():
         else:
             extra = status_info if name not in oracles else ""
             print(f"ok   {name} [{dt:.1f}s] {extra}")
-    print("\n%d/%d passed" % (len(qs) - len(failed), len(qs) if not only else len(only)))
+    n_run = len(only) if only else len(qs)
+    print("\n%d/%d passed" % (n_run - len(failed), n_run))
     spark.stop()
     sys.exit(1 if failed else 0)
 
