@@ -190,12 +190,86 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+# production near-dup threshold is ~0.95; the synthetic embeddings are
+# random (max pairwise cosine ~0.49), so the pinned default sits at the
+# corpus's p99.9 to give the correctness oracle non-empty output
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors are blocked by
+    their IVF cell (nearest pinned centroid), and only same-cell pairs
+    are exactly scored — the coarse-quantizer blocking that keeps this
+    O(n^2 / C) instead of O(n^2) at scale (recall is bounded by cell
+    purity; raise C or use multi-assignment for higher recall)."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    cents = emb.where(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cent_id", _cosine(F.col("e"), F.col("c")).alias("ccos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell").cast("long").alias("cell"),
+            F.round(_cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+    return pairs
+
+
+def embedding_near_dups_sql(threshold: float = COSINE_DUP_THRESHOLD) -> str:
+    ccos = _cosine_sql("e.emb", "c.emb")
+    pcos = _cosine_sql("a.emb", "b.emb")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, emb FROM base WHERE vec_id < {IVF_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cent_id, {ccos} AS ccos FROM base e, cents c
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM scored
+  ) t WHERE r = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(aa.cell AS BIGINT) AS cell,
+       round({pcos}, 6) AS cos_sim
+FROM base a
+JOIN assigned aa ON aa.vec_id = a.vec_id
+JOIN assigned ab ON ab.cell = aa.cell
+JOIN base b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+WHERE round({pcos}, 6) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_knn_ivf": knn_ivf,
+    "dedup_embedding_cosine": embedding_near_dups,
 }
 
 ORACLES = {
     "sim_knn_brute_force": knn_brute_force_sql(),
     "sim_knn_ivf": knn_ivf_sql(),
+    "dedup_embedding_cosine": embedding_near_dups_sql(),
 }
