@@ -211,25 +211,38 @@ class _Run:
         document_body = get_or_create_body(document)
         root_element = document.root
 
-        # remove non-readability scripts (NRT:604-615)
+        # one walk collecting all three target kinds; removal order is
+        # preserved (scripts NRT:604-615, stylesheets NRT:617-623,
+        # style tags NRT:625-628). Removals can't nest inside each
+        # other in any order-observable way: all three target sets are
+        # disjoint by element name.
+        scripts, links, styles = [], [], []
+        for el in root_element.descendants():
+            name = el.name
+            if name == "script":
+                scripts.append(el)
+            elif name == "link":
+                links.append(el)
+            elif name == "style":
+                styles.append(el)
+
         to_remove = []
-        for script in root_element.get_elements_by_tag_name("script"):
+        for script in scripts:
             src = script.get_attribute_value("src", None)
             if not src or "readability" not in src:
                 to_remove.append(script)
         _remove_elements(to_remove)
 
-        # remove external non-readability stylesheets (NRT:617-623)
-        to_remove = [
-            el
-            for el in root_element.get_elements_by_tag_name("link")
-            if el.get_attribute_value("rel", "").strip().lower() == "stylesheet"
-            and "readability" not in el.get_attribute_value("href", "")
-        ]
-        _remove_elements(to_remove)
+        _remove_elements(
+            [
+                el
+                for el in links
+                if el.get_attribute_value("rel", "").strip().lower() == "stylesheet"
+                and "readability" not in el.get_attribute_value("href", "")
+            ]
+        )
 
-        # remove style tags (NRT:625-628)
-        _remove_elements(list(root_element.get_elements_by_tag_name("style")))
+        _remove_elements(styles)
 
         # double <br> -> <p>, <font> -> <span> on the serialized body, then
         # reparse (NRT:630-637)

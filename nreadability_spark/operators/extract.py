@@ -91,17 +91,22 @@ def make_extract_udf(options=None, include_html=True):
     def extract_udf(texts):
         import pandas as pd
 
-        # adversarially deep DOMs: the core is recursive over tree depth
+        # adversarially deep DOMs: the parser keeps a list stack, but
+        # hostile inputs can still nest regex/DOM work deeply
         if sys.getrecursionlimit() < 20000:
             sys.setrecursionlimit(20000)
 
-        rows = []
+        # columnar accumulation: dict-of-lists -> DataFrame is much
+        # cheaper than list-of-dicts for wide string columns
+        names = list(EXTRACT_RESULT_SCHEMA.names)
+        cols = {name: [] for name in names}
         for text in texts:
             row = _extract_one(text, opts)
             if not include_html:
                 row["content_html"] = ""
-            rows.append(row)
-        return pd.DataFrame(rows, columns=list(EXTRACT_RESULT_SCHEMA.names))
+            for name in names:
+                cols[name].append(row[name])
+        return pd.DataFrame(cols, columns=names)
 
     return extract_udf
 
