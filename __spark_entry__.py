@@ -14,10 +14,28 @@ by name), and all non-integer outputs are rounded on both sides.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may exec this file from any cwd; the package lives besides it
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers even when
+    the driver session was built elsewhere (idempotent addPyFile)."""
+    try:
+        from nreadability_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:  # noqa: BLE001 — best effort; local-mode workers
+        pass  # usually inherit the driver cwd on sys.path anyway
 
 
 def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,6 +48,7 @@ def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows here are correct parity, not a failure."""
     from nreadability_spark.operators.extract import extract_columns
 
+    _ship_package(spark)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
     docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     out = extract_columns(
@@ -59,6 +78,7 @@ def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     real readability exercise: junk must be stripped, content kept."""
     from nreadability_spark.operators.extract import extract_columns
 
+    _ship_package(spark)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
     docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     page = F.concat(
@@ -91,6 +111,7 @@ def _extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nreadability_spark.plans.extract_job import extract_transcripts
     from nreadability_spark.sources.synth import transcripts_df
 
+    _ship_package(spark)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
     n_convs = 60 if "0.001" in sf_dir else 200
     src = transcripts_df(spark, n_convs=n_convs)
@@ -123,9 +144,17 @@ def _registries():
     return queries, oracles
 
 
+def _with_shipping(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q, _ = _registries()
-    q = dict(q)
+    q = {name: _with_shipping(fn) for name, fn in q.items()}
     q["extract_documents"] = _extract_documents
     q["extract_doc_pages"] = _extract_doc_pages
     q["extract_transcripts"] = _extract_transcripts
