@@ -103,5 +103,78 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"multimodal_decode_meta": multimodal_metadata}
-ORACLES = {"multimodal_decode_meta": multimodal_metadata_sql()}
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+    ]
+)
+
+
+def _fake_frame_offsets(payload: bytes) -> list[int]:
+    """Deterministic stand-in for video frame sampling: k sample
+    offsets derived from md5(payload), clamped into the payload."""
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    n_bytes = max(len(payload), 1)
+    n_frames = 1 + h % 4
+    return [((h // (k + 1)) % n_bytes) for k in range(n_frames)]
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload", decode_stub: bool = True) -> DataFrame:
+    """binary payload -> one row per sampled frame offset. The real
+    implementation seeks keyframes with a container parser (av/ffmpeg);
+    the stub derives deterministic offsets so the distributed plumbing
+    (batch iterator, explode shape, schema) is real and testable."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, offs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "frame sampling requires a media container parser not "
+                        "present in this sandbox; run with decode_stub=True"
+                    )
+                for k, off in enumerate(_fake_frame_offsets(data)):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    offs.append(off)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "byte_offset": offs})
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return sample_frames(payloads).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_frames_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+    nb = "greatest(octet_length(encode(text)), 1)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {h} AS h, {nb} AS n_bytes, 1 + ({h} % 4) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
+       unnest([ (h // (k + 1)) % n_bytes FOR k IN range(n_frames) ]) AS byte_offset
+FROM base
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "multimodal_decode_meta": multimodal_metadata,
+    "multimodal_frame_sample": multimodal_frames,
+}
+ORACLES = {
+    "multimodal_decode_meta": multimodal_metadata_sql(),
+    "multimodal_frame_sample": multimodal_frames_sql(),
+}
