@@ -33,7 +33,11 @@ HEADLINE = [
     "sim_knn_brute_force",
     "sim_knn_ivf",
     "multimodal_decode_meta",
+    "rel_event_sessions",
+    "rel_asof_join",
+    "dedup_embedding_cosine",
     "extract_doc_pages",
+    "extract_stitch_conversations",
 ]
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400"))

@@ -204,29 +204,40 @@ def embedding_near_dups(
     are exactly scored — the coarse-quantizer blocking that keeps this
     O(n^2 / C) instead of O(n^2) at scale (recall is bounded by cell
     purity; raise C or use multi-assignment for higher recall)."""
+    # norm factored out per vector: cos(a,b) = dot(a,b) / (na * nb) with
+    # na precomputed once — identical doubles to _cosine (same
+    # expressions, just not recomputed per pair), 3x fewer dot products
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
-    )
+    ).withColumn("n", F.sqrt(_dot(F.col("e"), F.col("e"))))
     cents = emb.where(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c"), F.col("n").alias("cn")
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", "cent_id", _cosine(F.col("e"), F.col("c")).alias("ccos")
+        "vec_id", "e", "n", "cent_id",
+        (_dot(F.col("e"), F.col("c")) / (F.col("n") * F.col("cn"))).alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     assigned = (
         scored.withColumn("r", F.row_number().over(w_assign))
         .where(F.col("r") == 1)
-        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+        .select("vec_id", "e", "n", F.col("cent_id").alias("cell"))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    # the cell self-join has only C distinct keys -> a shuffle join
+    # degenerates to C skewed tasks; broadcasting the build side keeps
+    # the probe side's full parallelism. At 100 TB the build side is a
+    # single CELL's vectors per task (block the pairs by (cell, salt));
+    # here the whole table fits the broadcast threshold.
     pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(F.broadcast(b), (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").cast("long").alias("cell"),
-            F.round(_cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")

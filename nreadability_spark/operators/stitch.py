@@ -97,43 +97,47 @@ def _page_html(conv_id, page_no, n_pages, body_text):
 def stitched_documents(spark: SparkSession, sf_dir: str, pages_per_conv: int = 3) -> DataFrame:
     """Documents regrouped as paginated crawls: every ``pages_per_conv``
     consecutive docs form one multi-page article; pages are stitched
-    per conversation (rows-only check — the stitcher is pure Python)."""
-    docs = load_documents(spark, sf_dir)
+    per conversation (rows-only check — the stitcher is pure Python).
+
+    Page rendering is pure string assembly, so it runs JVM-side
+    (``concat`` expressions) — the stitcher's ``applyInPandas`` is the
+    only Python stage. The single-file parquet scan is pre-spread so
+    the conv_id shuffle reads from parallel map tasks."""
+    docs = load_documents(spark, sf_dir).repartition(
+        2 * spark.sparkContext.defaultParallelism, F.xxhash64("doc_id")
+    )
     n = F.lit(pages_per_conv)
-    pages = docs.select(
-        F.concat(F.lit("conv"), (F.col("doc_id") / n).cast("long").cast("string")).alias("conv_id"),
+    conv = F.concat(F.lit("conv"), (F.col("doc_id") / n).cast("long").cast("string"))
+    page_no = (F.col("doc_id") % n + 1).cast("int")
+    next_link = F.when(
+        page_no < pages_per_conv,
+        F.concat(
+            F.lit('<div class="pagination"><a href="http://synth.example/'),
+            conv,
+            F.lit("/page/"),
+            (page_no + 1).cast("string"),
+            F.lit('">Next Page &raquo;</a></div>'),
+        ),
+    ).otherwise(F.lit(""))
+    page_html = F.concat(
+        F.lit("<html><head><title>Article "), conv,
+        F.lit(' | Synth</title></head><body><div id="header"><a href="/">Home</a></div>'
+              '<div class="content"><h1>Article '), conv,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p></div>"), next_link,
+        F.lit('<div id="footer">footer junk</div></body></html>'),
+    )
+    crawl = docs.select(
+        conv.alias("conv_id"),
         (F.col("doc_id") % n).cast("int").alias("turn_idx"),
         F.concat(
-            F.lit("http://synth.example/conv"),
-            (F.col("doc_id") / n).cast("long").cast("string"),
+            F.lit("http://synth.example/"), conv,
             F.when(F.col("doc_id") % n == 0, F.lit("")).otherwise(
-                F.concat(F.lit("/page/"), ((F.col("doc_id") % n) + 1).cast("string"))
+                F.concat(F.lit("/page/"), page_no.cast("string"))
             ),
         ).alias("url"),
-        "text",
-        "doc_id",
+        page_html.alias("text"),
     )
-
-    def render(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                conv = r["conv_id"]
-                page_no = int(r["turn_idx"]) + 1
-                rows.append(
-                    {
-                        "conv_id": conv,
-                        "turn_idx": int(r["turn_idx"]),
-                        "url": r["url"],
-                        "text": _page_html(conv, page_no, 3, r["text"]),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "url", "text"])
-
-    schema = "conv_id string, turn_idx int, url string, text string"
-    crawl = pages.mapInPandas(render, schema=schema)
     out = stitch_conversations(crawl, include_html=False)
     return out.select(
         "conv_id", "extracted", "n_pages_visited", "content_len"
