@@ -54,14 +54,25 @@ def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_columns(
         docs.select("doc_id", "text"), include_html=False
     )
-    return out.select(
+    return _ordered_small(
+        out.select(
+            "doc_id",
+            "extracted",
+            "title",
+            F.length("content_text").cast("long").alias("content_len"),
+            F.size("spans").cast("long").alias("n_spans"),
+            "error",
+        ),
         "doc_id",
-        "extracted",
-        "title",
-        F.length("content_text").cast("long").alias("content_len"),
-        F.size("spans").cast("long").alias("n_spans"),
-        "error",
-    ).orderBy("doc_id")
+    )
+
+
+def _ordered_small(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic global order for a small result WITHOUT a range
+    exchange: orderBy directly above a Python stage makes the
+    RangePartitioner's sampling pass execute that stage twice; a
+    single-partition shuffle materializes it once and sorts in place."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def _salted(df: DataFrame) -> DataFrame:
@@ -94,14 +105,17 @@ def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_columns(
         docs.select("doc_id", page.alias("text")), include_html=False
     )
-    return out.select(
+    return _ordered_small(
+        out.select(
+            "doc_id",
+            "extracted",
+            "title",
+            F.length("content_text").cast("long").alias("content_len"),
+            F.size("spans").cast("long").alias("n_spans"),
+            "error",
+        ),
         "doc_id",
-        "extracted",
-        "title",
-        F.length("content_text").cast("long").alias("content_len"),
-        F.size("spans").cast("long").alias("n_spans"),
-        "error",
-    ).orderBy("doc_id")
+    )
 
 
 def _extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,8 +67,16 @@ def stitch_conversations(
             ]
         )
 
+    # explicit user repartition before the groupBy: AQE coalesces
+    # small shuffles by BYTE size (a few MB of pages -> ONE partition)
+    # and is blind to the Python stitching cost per row, which would
+    # serialize every conversation through a single worker. A
+    # REPARTITION_BY_NUM exchange is never coalesced, and the groupBy
+    # reuses its clustering (no second shuffle).
+    n_parts = 2 * df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select("conv_id", "turn_idx", url_col, text_col)
+        .repartition(n_parts, "conv_id")
         .groupBy("conv_id")
         .applyInPandas(stitch, schema=STITCH_RESULT_SCHEMA)
     )
@@ -139,9 +147,13 @@ def stitched_documents(spark: SparkSession, sf_dir: str, pages_per_conv: int = 3
         page_html.alias("text"),
     )
     out = stitch_conversations(crawl, include_html=False)
-    return out.select(
-        "conv_id", "extracted", "n_pages_visited", "content_len"
-    ).orderBy("conv_id")
+    # single-partition sort, not orderBy: a range exchange above the
+    # Python stage would re-execute it for partition-bound sampling
+    return (
+        out.select("conv_id", "extracted", "n_pages_visited", "content_len")
+        .repartition(1)
+        .sortWithinPartitions("conv_id")
+    )
 
 
 QUERIES = {"extract_stitch_conversations": stitched_documents}
