@@ -73,28 +73,31 @@ def exploded_tokens_sql(table: str, text_expr: str = "text", id_col: str = "doc_
     )
 
 
-def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
     """DISTINCT n-word shingles per document: (id, shingle).
 
-    Built with lead() over the token stream — identical construction is
-    expressible in DuckDB, guaranteeing oracle parity. The window is
-    partitioned by document, so at scale this shuffles by doc id once
-    and stays fully JVM-side.
+    Built entirely map-side: the token array is sliced with a
+    ``transform`` over positions and deduplicated per document with
+    ``array_distinct`` BEFORE exploding — zero shuffles (the old
+    posexplode + lead()-window construction shuffled by document).
+    The SQL oracle twin keeps the window-based construction; the
+    shingle SETS are identical by definition, which is what every
+    consumer (signatures, Jaccard, sketches) operates on.
     """
-    from pyspark.sql import Window
+    toks = tokens(F.col(text_col))
+    positions = F.sequence(F.lit(0), F.size(toks) - n)
 
-    tok = exploded_tokens(df, id_col=id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
-                    *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)])
-    cond = None
-    for i in range(1, n):
-        c = F.col(f"_t{i}").isNotNull()
-        cond = c if cond is None else (cond & c)
-    if cond is not None:
-        sh = sh.where(cond)
-    return sh.select(id_col, "shingle").distinct()
+    def shingle_at(i):
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        )
+
+    shingles = F.array_distinct(F.transform(positions, shingle_at))
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    )
 
 
 def word_shingles_sql(table: str, n: int = 3, text_expr: str = "text", id_col: str = "doc_id") -> str:
