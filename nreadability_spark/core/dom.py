@@ -91,6 +91,34 @@ KNOWN_ELEMENTS = _FLOW | OPTIONAL_END_TAG | VOID_ELEMENTS | frozenset(
 )
 
 
+def parse_preserves(parent_name, child_name):
+    """True iff the parser, on seeing ``child_name``'s start tag while
+    ``parent_name`` is the innermost open element, leaves the parent open
+    — i.e. ``_validate_content``'s scan breaks at its first iteration and
+    the parent/child edge survives a serialize→reparse round-trip.
+
+    Mirrors the loop in ``_validate_content`` exactly, except the
+    BODY-at-stack-index-2 special case is dropped: callers use this to
+    decide whether a reparse may be *elided*, so omitting the case is
+    conservative (a body-in-fragment edge takes the real reparse path,
+    never the reverse).
+    """
+    if child_name not in KNOWN_ELEMENTS:
+        return True  # unknown elements are allowed anywhere
+    if parent_name == "html":
+        return True  # cannot pop the root element
+    if parent_name not in KNOWN_ELEMENTS:
+        return True  # unknown container: allows any content
+    contains = _CONTAINS.get(parent_name)
+    if contains is not None and child_name in contains:
+        return True
+    if parent_name not in OPTIONAL_END_TAG:
+        return True  # required end tag: cannot auto-close
+    if contains is None:
+        return True  # optional-end element without a model: allows
+    return False  # parent would be auto-closed before the child
+
+
 class Node:
     """Base DOM node with a parent pointer and sibling navigation."""
 

@@ -30,11 +30,13 @@ from dataclasses import dataclass, field
 from nreadability_spark.core import regexes, urls
 from nreadability_spark.core.css import READABILITY_CSS
 from nreadability_spark.core.dom import (
+    XML_WHITESPACE,
     Comment,
     Document,
     Element,
     Text,
     build_document,
+    parse_preserves,
     traverse_child_nodes,
     traverse_elements,
 )
@@ -809,6 +811,47 @@ class _Run:
 # --- module-level pure helpers ------------------------------------------------------
 
 
+def _parse_stable(element):
+    """True iff reparsing ``element``'s serialized inner HTML provably
+    reproduces the subtree unchanged, i.e. ``parse(serialize(T)) == T``
+    for the child forest T — the precondition for eliding the reference's
+    SetInnerHtml reparse (DomExtensions.cs:238-263).
+
+    Conditions checked (each names the parser behaviour that would
+    otherwise restructure the tree):
+
+    - no ``script``/``style`` descendants — rawtext parses as CDATA
+      while serialization escapes it;
+    - every parent→child element edge *inside* the forest satisfies the
+      implied-end-tag content model (``parse_preserves``): pipeline
+      mutations such as the div→p rename (NRT:812) can build trees like
+      ``<p><li>`` that a reparse restructures by auto-closing the ``p``.
+      Top-level children are exempt: the fragment reparse opens them
+      under a fresh ``html`` root, which is never popped;
+    - no whitespace-only Text nodes (dropped by the parser) and no
+      adjacent Text siblings (merged by the parser).
+    """
+    stack = [element]
+    while stack:
+        parent = stack.pop()
+        prev_was_text = False
+        for node in parent.children:
+            if isinstance(node, Element):
+                prev_was_text = False
+                if node.name in ("script", "style"):
+                    return False
+                if parent is not element and not parse_preserves(parent.name, node.name):
+                    return False
+                stack.append(node)
+            elif isinstance(node, Text):
+                if prev_was_text or not node.value.strip(XML_WHITESPACE):
+                    return False
+                prev_was_text = True
+            else:
+                prev_was_text = False
+    return True
+
+
 def _serialized_regex_pass(element, regex_repl_pairs, trigger_prefixes):
     """Run serialize -> regex-substitute -> SetInnerHtml, with both the
     serialization and the reparse elided when they provably change
@@ -818,10 +861,14 @@ def _serialized_regex_pass(element, regex_repl_pairs, trigger_prefixes):
     (etc.) in the serialized form. Text and attribute values serialize
     with ``<`` escaped, so only (a) elements whose name starts with a
     trigger prefix and (b) raw comment bodies can produce a match; when
-    neither exists, the substitution is a no-op and only RemoveAll's
-    attribute clearing remains observable. Prefix matching (not exact
-    names) keeps this a conservative superset: an unknown ``<brx>``
-    element also matches ``<br[^>]*>`` and takes the slow path.
+    neither exists, the substitution is a no-op. Eliding still requires
+    the subtree to be a parser fixed point (``_parse_stable``) — the
+    reference's reparse itself can restructure (rawtext re-escaping,
+    implied end tags) even when the regexes match nothing. On the elided
+    path only RemoveAll's attribute clearing remains observable. Prefix
+    matching (not exact names) keeps the trigger scan a conservative
+    superset: an unknown ``<brx>`` element also matches ``<br[^>]*>``
+    and takes the slow path.
     """
     needs_pass = False
     for node in element.descendant_nodes():
@@ -834,13 +881,14 @@ def _serialized_regex_pass(element, regex_repl_pairs, trigger_prefixes):
             if any(rx.search(raw) for rx, _repl in regex_repl_pairs):
                 needs_pass = True
                 break
-    if not needs_pass:
+    if not needs_pass and _parse_stable(element):
         element.attrs.clear()
         return
     inner = element.inner_html()
     new_inner = inner
-    for rx, repl in regex_repl_pairs:
-        new_inner = rx.sub(repl, new_inner)
+    if needs_pass:
+        for rx, repl in regex_repl_pairs:
+            new_inner = rx.sub(repl, new_inner)
     _rewrite_inner_html(element, inner, new_inner)
 
 
@@ -851,18 +899,14 @@ def _rewrite_inner_html(element, old_inner, new_inner):
     The reference always reparses (DomExtensions.cs:238-263). Skipping
     is exactly equivalent when (a) the regex stage changed nothing
     (``new_inner == old_inner``, the overwhelmingly common case) and
-    (b) the subtree holds no rawtext elements — script/style parse
-    their content as CDATA while serialization escapes it, so ONLY
-    those elements can make parse(serialize(T)) differ from T (the
-    serializer never emits whitespace-only text nodes, implied tags, or
-    unescaped markup; the fixed-point property is covered by the fuzz
-    suite). ``XElement.RemoveAll``'s attribute clearing is observable
+    (b) the subtree is a parser fixed point per ``_parse_stable`` —
+    rawtext elements, content-model-violating edges produced by pipeline
+    mutations, and mergeable/droppable text nodes all force the real
+    reparse. ``XElement.RemoveAll``'s attribute clearing is observable
     (e.g. the article div loses its id in KillBreaks) and is preserved
     on the skip path.
     """
-    if new_inner == old_inner and not any(
-        e.name in ("script", "style") for e in element.descendants()
-    ):
+    if new_inner == old_inner and _parse_stable(element):
         element.attrs.clear()
         return
     element.set_inner_html(new_inner)

@@ -298,11 +298,13 @@ def event_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> D
     sum of session starts — two window passes over one shuffle."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ timestamps: gap via unix epoch of the LTZ view; offsets cancel
-    # in the difference (session tz pinned UTC for determinism)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # NTZ timestamps: timestamp_diff works on the wall-clock values
+    # directly, so the gap is timezone-independent (no session-tz
+    # mutation, which would leak into every later query on the session).
+    # Truncate each side to whole seconds BEFORE differencing — second-
+    # boundary-crossing semantics, matching SQL date_diff('second',..)
+    ts_s = F.date_trunc("second", F.col("ts"))
+    gap = F.timestamp_diff("SECOND", F.lag(ts_s).over(w), ts_s)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     sess = ev.withColumn("new_s", new_session).withColumn(
         "session_idx",

@@ -73,3 +73,45 @@ def test_deeply_nested_input_does_not_crash(depth):
     html = "<div>" * depth + "content here" + "</div>" * depth
     r = extract(html)
     assert isinstance(r.extracted, bool)
+
+
+_readable = st.sampled_from([
+    "Readable sentence, with commas, that scores well in the candidate pass. " * 8,
+    "More article text, plenty of commas, excellent content quality here. " * 8,
+])
+_mutation_soup = st.lists(
+    st.one_of(
+        _fragments,
+        _readable,
+        # shapes that become content-model violations after the div->p
+        # rename (NRT:812): the reparse-elision fast path must agree with
+        # the reference's always-reparse on these
+        st.sampled_from([
+            "<div><li>item</li></div>", "<div><p>par</p></div>",
+            "<div><tr><td>c</td></tr></div>", "<div><dd>d</dd></div>",
+        ]),
+    ),
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mutation_soup)
+def test_reparse_elision_matches_always_reparse(soup):
+    """The fast path that elides SetInnerHtml's serialize+reparse must be
+    observationally identical to the reference's always-reparse behaviour
+    — including on trees the *pipeline mutations* (div->p rename, sibling
+    moves) made content-model-invalid, which the parser restructures."""
+    import nreadability_spark.core.transcoder as T
+
+    fast = extract(soup)
+    orig = T._parse_stable
+    T._parse_stable = lambda e: False  # reference behaviour: always reparse
+    try:
+        slow = extract(soup)
+    finally:
+        T._parse_stable = orig
+    assert fast.content_html == slow.content_html
+    assert fast.content_text == slow.content_text
+    assert fast.html == slow.html
+    assert fast.spans == slow.spans

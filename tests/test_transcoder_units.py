@@ -408,3 +408,33 @@ def test_deterministic_output():
     a = extract(html)
     b = extract(html)
     assert a == b
+
+
+# --- reparse-elision content-model regression (round-2 ADVICE, high) ----------------
+
+
+def test_div_li_rename_matches_reference_reparse():
+    """The div->p rename (NRT:812) turns <div><li> into <p><li>, which the
+    reference's SetInnerHtml reparse restructures (ValidateContent
+    auto-closes the p before the li). The elided-reparse fast path must
+    produce the same restructured output, not preserve the invalid tree."""
+    import nreadability_spark.core.transcoder as T
+
+    html = (
+        "<html><body><div><li>"
+        + ("Some long readable sentence, with commas, that scores well. " * 20)
+        + "</li></div><div>"
+        + ("More article text, plenty of commas, excellent quality. " * 20)
+        + "</div></body></html>"
+    )
+    fast = extract(html)
+    orig = T._parse_stable
+    T._parse_stable = lambda e: False
+    try:
+        ref = extract(html)
+    finally:
+        T._parse_stable = orig
+    assert fast.content_html == ref.content_html
+    assert fast.html == ref.html
+    # and the restructuring actually happened: no li left directly inside a p
+    assert "<p><li>" not in fast.content_html
