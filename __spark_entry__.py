@@ -3,9 +3,12 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — every implemented operator (SURVEY.md §2 + the
 training-data-pipeline ops), keyed by name.
-``oracle_sql()`` — DuckDB twins for every SQL-expressible query; the
-extraction queries run the pure-Python core through a pandas UDF and
-are intentionally absent (rows-only check).
+``oracle_sql()`` — DuckDB twins for every query. The extraction
+queries run the pure-Python core through a pandas UDF, so their oracle
+is a frozen golden parquet produced by an independent single-process
+run of the same core (``tools/make_extract_golden.py``: plain loops,
+dict cumsum, sequential stitch — no Spark, no Arrow) over the same
+deterministic inputs; the SQL is then a plain ``read_parquet`` select.
 
 Column names and value types are aligned pairwise between each Spark
 query and its oracle (the driver hash-compares after sorting columns
@@ -175,8 +178,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+# golden parquet files frozen by tools/make_extract_golden.py — an
+# independent pure-Python re-execution of the extraction pipeline
+_GOLDEN_FILES = {
+    "extract_documents": "expected_extract_documents.parquet",
+    "extract_doc_pages": "expected_extract_doc_pages.parquet",
+    "extract_transcripts": "expected_extract_transcripts.parquet",
+    "extract_stitch_conversations": "expected_extract_stitch.parquet",
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    _, o = _registries()
-    # extract_* intentionally absent: non-SQL-expressible (pure-Python
-    # NReadability core inside a pandas UDF) -> rows-only check
-    return dict(o)
+    o = dict(_registries()[1])
+    # the driver compares at sf0.01; tools/check_oracles.py overrides the
+    # env var to replay the check at other scale factors
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    for name, fname in _GOLDEN_FILES.items():
+        path = os.path.join(_REPO_DIR, "golden", sf_name, fname)
+        if os.path.isfile(path):
+            o[name] = f"SELECT * FROM read_parquet('{path}')"
+    return o

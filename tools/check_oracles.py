@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -58,6 +59,9 @@ def compare(name, sdf, sql, con):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # point the extract_* golden-parquet oracles at this scale factor
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
