@@ -22,6 +22,8 @@ ordering ties broken by vec_id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -100,18 +102,28 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
+def knn_ivf(
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, centroids: DataFrame | None = None
+) -> DataFrame:
     """IVF(nprobe) approximate top-k for the pinned query vector.
 
     Stage 1 (build): every vector -> nearest centroid (broadcast join
     against C centroids, window argmax). Stage 2 (search): query picks
     its ``nprobe`` nearest cells; only those cells are rescored.
+
+    ``centroids``: a (cent_id, c) table, e.g. ``fit_centroids``'s output
+    — the production wiring (fit job -> IVF build). Defaults to the
+    pinned stand-in so the oracle stays closed-form.
     """
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
-    cents = emb.where(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    cents = (
+        centroids
+        if centroids is not None
+        else emb.where(F.col("vec_id") < IVF_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+        )
     )
 
     scored = emb.crossJoin(F.broadcast(cents)).select(
@@ -190,23 +202,160 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+# --- coarse-centroid fit (the "separate Spark job" feeding IVF) --------
+
+KMEANS_ITERS = 2
+
+
+def pinned_centroids(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> DataFrame:
+    """The deterministic stand-in centroids (first k vectors by id) —
+    the test fixture; production uses ``fit_centroids``."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    return emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+
+
+def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, e) x (cent_id, c) -> (vec_id, e, cell): nearest centroid
+    by cosine, ties to the lowest cent_id. The centroid table is tiny
+    (C rows) and explicitly broadcast."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cent_id", _cosine(F.col("e"), F.col("c")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+    )
+
+
+def fit_centroids(
+    spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd k-means over the embeddings as a Spark job -> (cent_id, c).
+
+    Deterministic by construction so the fit itself is oracle-checkable:
+    pinned init (first k vectors), cosine assignment with lowest-id tie
+    break, and each iteration's centroids ROUNDED to 6 decimals as part
+    of the algorithm (summation-order noise in the distributed mean is
+    ~1e-13, far below the rounding grain, so the rounded centroids are
+    stable across partitionings and engines). Cells that lose all
+    members simply drop out (k shrinks) — identical behaviour in the
+    SQL twin.
+
+    Scale shape: per iteration, one broadcast of C centroids, one
+    narrow argmax window keyed by vec_id, and one (cell, dim) shuffle
+    agg with map-side partials — no collect, no driver math; the
+    centroid table itself is the only driver-sized object.
+    """
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    cents = pinned_centroids(spark, sf_dir, k)
+    for _ in range(iters):
+        assigned = _assign_to_centroids(emb, cents)
+        means = (
+            assigned.select("cell", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s"))
+            .select(F.col("cell").alias("cent_id"), F.col("s.val").alias("c"))
+        )
+    return cents
+
+
+def centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the fitted centroid table in long format
+    (cell, dim, centroid), dim 1-based."""
+    cents = fit_centroids(spark, sf_dir)
+    return (
+        cents.select(
+            F.col("cent_id").cast("long").alias("cell"),
+            F.posexplode("c").alias("pos", "centroid"),
+        )
+        .select("cell", (F.col("pos") + 1).cast("long").alias("dim"), "centroid")
+        .orderBy("cell", "dim")
+    )
+
+
+def _kmeans_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled Lloyd iteration as CTE clauses (DuckDB)."""
+    ccos = _cosine_sql("e.emb", "c.c")
+    return f"""
+s{idx} AS (
+  SELECT e.vec_id, e.emb, c.cent_id, {ccos} AS ccos FROM base e, {prev} c
+),
+a{idx} AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT vec_id, emb, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM s{idx}
+  ) t WHERE r = 1
+),
+m{idx} AS (
+  SELECT cell, dim, round(avg(val), 6) AS val FROM (
+    SELECT cell, unnest(range(1, {DIM + 1})) AS dim, unnest(emb) AS val FROM a{idx}
+  ) x GROUP BY cell, dim
+),
+c{idx} AS (
+  SELECT cell AS cent_id, list(val ORDER BY dim) AS c FROM m{idx} GROUP BY cell
+)"""
+
+
+def centroid_fit_sql(k: int = IVF_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+    parts = [
+        f"WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cent_id, emb AS c FROM base WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append("," + _kmeans_iter_sql(f"c{i - 1}", i))
+    parts.append(
+        f"""
+SELECT CAST(cent_id AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim, centroid
+FROM (
+  SELECT cent_id, unnest(range(1, {DIM + 1})) AS dim, unnest(c) AS centroid
+  FROM c{iters}
+) t ORDER BY cell, dim
+"""
+    )
+    return "\n".join(parts)
+
+
 # production near-dup threshold is ~0.95; the synthetic embeddings are
 # random (max pairwise cosine ~0.49), so the pinned default sits at the
 # corpus's p99.9 to give the correctness oracle non-empty output
 COSINE_DUP_THRESHOLD = 0.4
 
 
-def embedding_near_dups(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: vectors are blocked by
-    their IVF cell (nearest pinned centroid), and only same-cell pairs
-    are exactly scored — the coarse-quantizer blocking that keeps this
-    O(n^2 / C) instead of O(n^2) at scale (recall is bounded by cell
-    purity; raise C or use multi-assignment for higher recall)."""
-    # norm factored out per vector: cos(a,b) = dot(a,b) / (na * nb) with
-    # na precomputed once — identical doubles to _cosine (same
-    # expressions, just not recomputed per pair), 3x fewer dot products
+# input-size gate for the broadcast fast path of the pair join: below
+# this many bytes of parquet the whole assigned table is broadcast (the
+# cell key has only C distinct values, so a plain shuffle join would
+# degenerate into C skewed tasks); above it, salted block-pair joins
+BROADCAST_PAIR_JOIN_MAX_BYTES = 64 << 20
+NEAR_DUP_SALTS = 8  # S sub-blocks per cell on the block-pair path
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the scan's input files (local paths; 0 if unknown)."""
+    total = 0
+    for f in df.inputFiles():
+        path = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return 0  # non-local source: size unknown -> no broadcast
+    return total
+
+
+def _assigned_vectors(spark: SparkSession, sf_dir: str):
+    """(vec_id, e, n, cell): every vector with its norm and IVF cell."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     ).withColumn("n", F.sqrt(_dot(F.col("e"), F.col("e"))))
@@ -223,26 +372,97 @@ def embedding_near_dups(
         .where(F.col("r") == 1)
         .select("vec_id", "e", "n", F.col("cent_id").alias("cell"))
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    # the cell self-join has only C distinct keys -> a shuffle join
-    # degenerates to C skewed tasks; broadcasting the build side keeps
-    # the probe side's full parallelism. At 100 TB the build side is a
-    # single CELL's vectors per task (block the pairs by (cell, salt));
-    # here the whole table fits the broadcast threshold.
-    pairs = (
-        a.join(F.broadcast(b), (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
+    return emb, assigned
+
+
+def _pair_cols(threshold):
+    return (
+        lambda joined: joined.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").cast("long").alias("cell"),
             F.round(
                 _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")), 6
             ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
+        ).where(F.col("cos_sim") >= threshold)
     )
-    return pairs
+
+
+def embedding_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    strategy: str = "auto",
+    n_salts: int = NEAR_DUP_SALTS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors are blocked by
+    their IVF cell (nearest pinned centroid), and only same-cell pairs
+    are exactly scored — the coarse-quantizer blocking that keeps this
+    O(n^2 / C) instead of O(n^2) at scale (recall is bounded by cell
+    purity; raise C or use multi-assignment for higher recall).
+
+    Pair-join strategies (identical result set, different plans):
+
+    - ``broadcast``: broadcast the whole assigned table as the build
+      side. Right when the input fits the broadcast threshold — the cell
+      key has only C distinct values, so a plain shuffle join would
+      degenerate into C skewed tasks. Breaks (driver/executor OOM) once
+      the table outgrows the broadcast budget.
+    - ``block_pairs``: the 100 TB path. Each cell's vectors are split
+      into S salt sub-blocks (salt = xxhash64(vec_id) mod S); side A is
+      exploded to block-pairs (i=salt, j=salt..S-1), side B to
+      (i=0..salt, j=salt), and the join key (cell, i, j) meets every
+      unordered pair of sub-blocks exactly once, via a *shuffle* join
+      with C*S(S+1)/2 distinct keys. Per-task memory is one sub-block
+      pair, each row is shipped S+1 times — bounded fan-out instead of
+      an unbounded broadcast. Same-block pairs (i==j) keep only
+      vec_id_a < vec_id_b to avoid the double match.
+    - ``auto``: broadcast when the scanned parquet is under
+      ``BROADCAST_PAIR_JOIN_MAX_BYTES``, else block_pairs.
+    """
+    _, assigned = _assigned_vectors(spark, sf_dir)
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if 0 < _input_bytes(load_embeddings(spark, sf_dir)) <= BROADCAST_PAIR_JOIN_MAX_BYTES
+            else "block_pairs"
+        )
+
+    if strategy == "broadcast":
+        a, b = assigned.alias("a"), assigned.alias("b")
+        joined = a.join(
+            F.broadcast(b),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        return _pair_cols(threshold)(joined).orderBy("vec_a", "vec_b")
+
+    # block_pairs: salted sub-block pair join (no broadcast of the table)
+    salted = assigned.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+    )
+    side_a = salted.select(
+        "*", F.col("salt").alias("bi"),
+        F.explode(F.sequence(F.col("salt"), F.lit(n_salts - 1))).alias("bj"),
+    ).alias("a")
+    side_b = salted.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("bi"),
+        F.col("salt").alias("bj"),
+    ).alias("b")
+    joined = side_a.join(
+        side_b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bj") == F.col("b.bj"))
+        # distinct sub-blocks meet once; same sub-block needs the id order
+        & ((F.col("a.bi") != F.col("a.bj")) | (F.col("a.vec_id") < F.col("b.vec_id"))),
+    )
+    pairs = _pair_cols(threshold)(joined).select(
+        F.least("vec_a", "vec_b").alias("vec_a"),
+        F.greatest("vec_a", "vec_b").alias("vec_b"),
+        "cell",
+        "cos_sim",
+    )
+    return pairs.orderBy("vec_a", "vec_b")
 
 
 def embedding_near_dups_sql(threshold: float = COSINE_DUP_THRESHOLD) -> str:
@@ -276,11 +496,13 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_knn_ivf": knn_ivf,
+    "sim_centroid_fit": centroid_fit,
     "dedup_embedding_cosine": embedding_near_dups,
 }
 
 ORACLES = {
     "sim_knn_brute_force": knn_brute_force_sql(),
     "sim_knn_ivf": knn_ivf_sql(),
+    "sim_centroid_fit": centroid_fit_sql(),
     "dedup_embedding_cosine": embedding_near_dups_sql(),
 }

@@ -205,3 +205,56 @@ def test_iceberg_production_path_declared(spark):
     assert "bucket(256, conv_id)" in iceberg.create_output_table_ddl("t")
     assert iceberg.committed_partitions_sql("t").endswith("FROM t.files")
     assert iceberg.is_iceberg_available(spark) is False
+
+
+def test_near_dup_block_pairs_equals_broadcast_no_broadcast_join(spark):
+    """The 100 TB pair-join path: the salted (cell, i, j) block-pair
+    shuffle join must produce exactly the broadcast path's pairs, with
+    NO BroadcastHashJoin in its plan (only the tiny centroid cross
+    joins may broadcast)."""
+    from nreadability_spark.operators import similarity
+
+    bc = similarity.embedding_near_dups(spark, SF_DIR, strategy="broadcast")
+    bp = similarity.embedding_near_dups(spark, SF_DIR, strategy="block_pairs")
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, bp.collect()))
+    # the STATIC plan must not hint/force a broadcast of the table; at
+    # tiny scale AQE may still legitimately convert the exchange to a
+    # runtime broadcast once stats prove it fits — that's AQE's call,
+    # not a plan-shape requirement, so assert pre-AQE
+    plan = bp._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_near_dup_block_pairs_no_duplicate_pairs(spark):
+    """Every unordered same-cell pair must be matched exactly once by
+    the block-pair explode scheme (i==j needs the id-order guard)."""
+    from nreadability_spark.operators import similarity
+
+    # threshold -1: keep ALL same-cell pairs, so double-matching shows
+    rows = similarity.embedding_near_dups(
+        spark, SF_DIR, threshold=-1.0, strategy="block_pairs", n_salts=3
+    ).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+
+
+def test_ivf_reads_fitted_centroids(spark):
+    """Production wiring: the k-means fit job's centroid table feeds the
+    IVF build. Results must still be genuine vectors with exact cosines
+    (never invented), and the fit must preserve centroid count here
+    (no cell drops out on this data)."""
+    from nreadability_spark.operators import similarity
+
+    cents = similarity.fit_centroids(spark, SF_DIR)
+    assert cents.count() == similarity.IVF_CENTROIDS
+    brute = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.knn_brute_force(spark, SF_DIR, k=10**6).collect()
+    }
+    rows = similarity.knn_ivf(spark, SF_DIR, centroids=cents).collect()
+    assert rows, "fitted-centroid IVF returned nothing"
+    for r in rows:
+        assert r["vec_id"] in brute
+        assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
