@@ -100,6 +100,44 @@ def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def hashed_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DISTINCT 60-bit shingle hashes per document: (id, sh60).
+
+    The shared shingle-hash stage: MinHash signatures, the LSH/Jaccard
+    intersection joins, and the bottom-sketch all consume h60(shingle),
+    never the shingle string — so the hash is applied INSIDE the
+    map-side array transform and only 8-byte longs are ever exploded,
+    shuffled, or joined (vs. ~n-word strings). Zero shuffles, like
+    ``word_shingles``.
+    """
+    from nreadability_spark.functions import hashing
+
+    toks = tokens(F.col(text_col))
+    positions = F.sequence(F.lit(0), F.size(toks) - n)
+
+    def hash_at(i):
+        return hashing.h60(
+            F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+        )
+
+    hashes = F.array_distinct(F.transform(positions, hash_at))
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(hashes).alias("sh60"))
+    )
+
+
+def hashed_shingles_sql(table: str, n: int = 3, text_expr: str = "text",
+                        id_col: str = "doc_id") -> str:
+    from nreadability_spark.functions import hashing
+
+    return (
+        f"SELECT DISTINCT {id_col}, {hashing.h60_sql('shingle')} AS sh60 "
+        f"FROM ({word_shingles_sql(table, n, text_expr, id_col)}) ws"
+    )
+
+
 def word_shingles_sql(table: str, n: int = 3, text_expr: str = "text", id_col: str = "doc_id") -> str:
     toks = exploded_tokens_sql(table, text_expr, id_col)
     leads = ["tok"] + [

@@ -213,10 +213,11 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minimum shingle hash — the 1-element bottom-k sketch; at scale
     bottom-k feeds containment estimation the same way)."""
     docs = load_documents(spark, sf_dir)
-    sh = tx.word_shingles(docs, n=3)
-    sketch = sh.groupBy("doc_id").agg(
-        F.min(hashing.h60(F.col("shingle"))).alias("bottom_shingle_hash")
-    )
+    # shared shingle-hash stage (functions/text.py hashed_shingles):
+    # the same map-side construction minhash/jaccard consume — the md5
+    # is computed inside the array transform, only longs are exploded
+    sh = tx.hashed_shingles(docs, n=3)
+    sketch = sh.groupBy("doc_id").agg(F.min("sh60").alias("bottom_shingle_hash"))
     fp = docs.select("doc_id", hashing.h60(_norm_text(F.col("text"))).alias("fp60"))
     return (
         fp.join(sketch, "doc_id", "left")
@@ -227,8 +228,8 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINTS_SQL = f"""
 WITH sketch AS (
-  SELECT doc_id, min({hashing.h60_sql('shingle')}) AS bottom_shingle_hash
-  FROM ({tx.word_shingles_sql('documents', 3)}) sh
+  SELECT doc_id, min(sh60) AS bottom_shingle_hash
+  FROM ({tx.hashed_shingles_sql('documents', 3)}) sh
   GROUP BY doc_id
 )
 SELECT d.doc_id,

@@ -258,3 +258,94 @@ def test_ivf_reads_fitted_centroids(spark):
     for r in rows:
         assert r["vec_id"] in brute
         assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
+# --- LSH skew controls (exact-dedup-first + bucket cap) -----------------
+
+def _write_docs(spark, path, texts):
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+
+
+def test_lsh_collapse_expand_equals_uncollapsed(spark, tmp_path):
+    """Exact-dedup-first + expansion must reconstruct the uncollapsed
+    result exactly: duplicates share their representative's signatures
+    and Jaccard values, so no pair may appear, vanish, or change."""
+    from nreadability_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = (
+        [base] * 4                                  # one exact-dup class
+        + [base.replace("dog", "cat")] * 2          # a second class, near-dup of the first
+        + [base + " extra tail words here"]         # near-dup, unique
+        + ["completely different text with many unrelated words in it now"] * 3
+        + ["xy"]                                    # < n tokens: no shingles
+        + ["xy"]                                    # identical shingle-less doc: must NOT pair
+    )
+    _write_docs(spark, str(tmp_path), texts)
+    plain = sorted(
+        map(tuple, dedup.minhash_lsh_pairs(spark, str(tmp_path), collapse_exact=False).collect())
+    )
+    fast = sorted(
+        map(tuple, dedup.minhash_lsh_pairs(spark, str(tmp_path), collapse_exact=True).collect())
+    )
+    assert plain, "corpus should produce pairs"
+    assert fast == plain
+
+
+def test_lsh_hot_key_collapses_identical_flood(spark, tmp_path):
+    """1000 byte-identical docs: signing/banding must see ONE
+    representative (no quadratic candidate blowup), while the expanded
+    output still reports every duplicate pair."""
+    from nreadability_spark.operators import dedup
+
+    hot = "identical boilerplate page content repeated across the whole crawl corpus"
+    texts = [hot] * 1000 + ["some genuinely unique document text number one of a kind"]
+    _write_docs(spark, str(tmp_path), texts)
+
+    reps_only = dedup.minhash_lsh_pairs(
+        spark, str(tmp_path), collapse_exact=True, expand_exact=False
+    )
+    assert reps_only.count() == 0  # one rep per class; no cross-class near-dups
+    expanded = dedup.minhash_lsh_pairs(spark, str(tmp_path), collapse_exact=True)
+    assert expanded.count() == 1000 * 999 // 2
+
+
+def test_lsh_band_bucket_cap_drops_and_logs(spark, tmp_path):
+    """A capped run must drop oversized buckets from candidate
+    generation AND surface them via lsh_oversized_buckets."""
+    from nreadability_spark.functions import text as tx
+    from nreadability_spark.operators import dedup
+
+    # 6 distinct docs sharing identical shingles except one token ->
+    # same band keys land many docs in one bucket
+    base = "shared prefix words for every single document in this tiny corpus"
+    texts = [base + f" tail{i}" for i in range(6)]
+    _write_docs(spark, str(tmp_path), texts)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    sigs = dedup.minhash_signatures(tx.hashed_shingles(docs))
+    bands = dedup.lsh_band_table(sigs)
+    over = dedup.lsh_oversized_buckets(bands, cap=2).collect()
+    assert over, "expected at least one bucket above the cap"
+    capped = dedup.minhash_lsh_pairs(spark, str(tmp_path), band_bucket_cap=2)
+    uncapped = dedup.minhash_lsh_pairs(spark, str(tmp_path))
+    assert capped.count() < uncapped.count()
+
+
+def test_ngram_posting_cap_bounds_join(spark, tmp_path):
+    """With max_posting_list set, a ubiquitous shingle cannot contribute
+    candidate pairs (and sizes shrink consistently)."""
+    from nreadability_spark.operators import dedup
+
+    shared = "common header sentence appearing in every page of the site"
+    texts = [shared + f" unique body {i} {i + 1} {i + 2}" for i in range(10)]
+    _write_docs(spark, str(tmp_path), texts)
+    full = dedup.ngram_jaccard_pairs(spark, str(tmp_path), threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(
+        spark, str(tmp_path), threshold=0.01, max_posting_list=5
+    )
+    assert full.count() > 0
+    # the shared-shingle contributions are gone; remaining pairs only
+    # from incidental overlaps
+    assert capped.count() < full.count()
