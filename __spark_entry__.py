@@ -86,16 +86,11 @@ def _salted(df: DataFrame) -> DataFrame:
     return df.repartition(n, F.xxhash64("doc_id"))
 
 
-def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction over documents wrapped in a deterministic page shell
-    (header/sidebar/footer boilerplate around a content div) — the
-    real readability exercise: junk must be stripped, content kept."""
-    from nreadability_spark.operators.extract import extract_columns
-
-    _ship_package(spark)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-    docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    page = F.concat(
+def _page_shell() -> F.Column:
+    """The deterministic web-page shell around a document's text
+    (header/sidebar/footer boilerplate; replicated byte-for-byte by
+    tools/make_extract_golden.py)."""
+    return F.concat(
         F.lit("<html><head><title>Document "),
         F.col("doc_id").cast("string"),
         F.lit(" | Synth Corpus</title></head><body>"
@@ -105,12 +100,74 @@ def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</p></div><div class="sidebar"><ul><li><a href="#">Related</a></li>'
               '</ul></div><div id="footer">copyright</div></body></html>'),
     )
+
+
+def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over documents wrapped in a deterministic page shell
+    (header/sidebar/footer boilerplate around a content div) — the
+    real readability exercise: junk must be stripped, content kept."""
+    from nreadability_spark.operators.extract import extract_columns
+
+    _ship_package(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     out = extract_columns(
-        docs.select("doc_id", page.alias("text")), include_html=False
+        docs.select("doc_id", _page_shell().alias("text")), include_html=False
     )
     return _ordered_small(
         out.select(
             "doc_id",
+            "extracted",
+            "title",
+            F.length("content_text").cast("long").alias("content_len"),
+            F.size("spans").cast("long").alias("n_spans"),
+            "error",
+        ),
+        "doc_id",
+    )
+
+
+def _extract_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule's content-type dispatch end-to-end: even doc_ids
+    rendered as web pages (JVM-side concat), odd doc_ids as synthetic
+    PDFs (FlateDecode for every 4th doc) — one extraction UDF sniffs the
+    payload and routes HTML to the NReadability core, PDF to the layout
+    parser (``core/pdf.py``). PDF synthesis is a batch ``mapInPandas``
+    stage (input fixture generation, not part of the measured pipeline)."""
+    from nreadability_spark.operators.extract import extract_columns
+
+    _ship_package(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    shelled = docs.select("doc_id", _page_shell().alias("html_payload"), "text")
+
+    def gen(batches):
+        from nreadability_spark.sources.synth import build_pdf, pdf_paragraphs
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads, kinds = [], []
+            for doc_id, html_payload, text in zip(ids, pdf["html_payload"], pdf["text"]):
+                if doc_id % 2 == 0:
+                    payloads.append(html_payload)
+                    kinds.append("html")
+                else:
+                    payloads.append(
+                        build_pdf(
+                            f"Document {doc_id} | Synth Corpus",
+                            pdf_paragraphs(text),
+                            compress_streams=(doc_id % 4 == 3),
+                        )
+                    )
+                    kinds.append("pdf")
+            yield pdf.assign(text=payloads, kind=kinds)[["doc_id", "kind", "text"]]
+
+    mixed = shelled.mapInPandas(gen, schema="doc_id long, kind string, text string")
+    out = extract_columns(mixed, include_html=False)
+    return _ordered_small(
+        out.select(
+            "doc_id",
+            "kind",
             "extracted",
             "title",
             F.length("content_text").cast("long").alias("content_len"),
@@ -175,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_documents"] = _extract_documents
     q["extract_doc_pages"] = _extract_doc_pages
     q["extract_transcripts"] = _extract_transcripts
+    q["extract_mixed_media"] = _extract_mixed_media
     return q
 
 
@@ -185,6 +243,7 @@ _GOLDEN_FILES = {
     "extract_doc_pages": "expected_extract_doc_pages.parquet",
     "extract_transcripts": "expected_extract_transcripts.parquet",
     "extract_stitch_conversations": "expected_extract_stitch.parquet",
+    "extract_mixed_media": "expected_extract_mixed_media.parquet",
 }
 
 

@@ -23,6 +23,7 @@ import sys
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nreadability_spark.core.pdf import extract_pdf, looks_like_pdf
 from nreadability_spark.core.transcoder import DEFAULT_OPTIONS, extract
 
 EXTRACT_RESULT_SCHEMA = T.StructType(
@@ -59,9 +60,25 @@ _EMPTY_ROW = {
 
 
 def _extract_one(text, options):
+    """One payload -> result row. Content-type dispatch happens here —
+    the single Python stage of the job: PDF payloads (sniffed by magic
+    header, the content-type column being optional upstream metadata)
+    route to the layout parser in ``core.pdf``; everything else runs the
+    NReadability HTML core. Both emit the same struct."""
     if text is None or text == "":
         return dict(_EMPTY_ROW)
     try:
+        if looks_like_pdf(text):
+            pdf = extract_pdf(text)
+            return {
+                "title": pdf.title,
+                "content_html": pdf.content_html,
+                "content_text": pdf.content_text,
+                "extracted": pdf.extracted,
+                "next_page_url": None,
+                "spans": [{"start": s, "end": e} for s, e in pdf.spans],
+                "error": None,
+            }
         result = extract(text, None, options)
         return {
             "title": result.title,

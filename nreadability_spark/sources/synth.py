@@ -123,6 +123,65 @@ def load_fixture_payloads():
     return out
 
 
+def _pdf_escape(s):
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(title, paragraphs, compress_streams=False):
+    """A small, valid PDF (latin-1 string) with one page of text laid
+    out top-to-bottom: 14pt leading within a paragraph, a 28pt gap
+    between paragraphs (past ``core.pdf.PARA_GAP``, so the layout pass
+    reconstructs the paragraph structure). Deterministic — the
+    mixed-media query and its golden oracle both synthesize payloads
+    with this builder."""
+    import zlib as _z
+
+    y = 720.0
+    first = True
+    content_ops = ["BT /F1 12 Tf"]
+    for para in paragraphs:
+        words = para.split()
+        if not first:
+            y -= 28.0
+        first = False
+        for i in range(0, len(words), 8):
+            chunk = " ".join(words[i : i + 8])
+            content_ops.append(f"1 0 0 1 72 {y:.0f} Tm ({_pdf_escape(chunk)}) Tj")
+            y -= 14.0
+    content = ("\n".join(content_ops) + "\nET").encode("latin-1", "replace")
+    if compress_streams:
+        body = _z.compress(content)
+        filt = " /Filter /FlateDecode"
+    else:
+        body = content
+        filt = ""
+    stream = body.decode("latin-1")
+    objs = [
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /MediaBox [0 0 612 792] >> endobj",
+        f"4 0 obj <</Length {len(body)}{filt}>>\nstream\n{stream}endstream endobj",
+        f"5 0 obj << /Title ({_pdf_escape(title)}) >> endobj",
+    ]
+    return (
+        "%PDF-1.4\n"
+        + "\n".join(objs)
+        + "\ntrailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+    )
+
+
+def pdf_paragraphs(text, words_per_para=24):
+    """Deterministic paragraph split for PDF payload synthesis: fixed
+    word-count chunks (shared by the mixed-media query and its golden
+    oracle)."""
+    words = (text or "").split()
+    return [
+        " ".join(words[i : i + words_per_para])
+        for i in range(0, len(words), words_per_para)
+    ] or [""]
+
+
 def _turn_count(conv_idx, long_every=97, short_min=2, short_max=12, long_factor=50):
     if long_every and conv_idx % long_every == 0:
         return short_max * long_factor  # skewed long conversation

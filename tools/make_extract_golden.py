@@ -100,6 +100,53 @@ def golden_doc_pages(pool, docs, out_dir):
     _write(out_dir, "expected_extract_doc_pages.parquet", rows, _DOC_SCHEMA)
 
 
+# --- mixed media (html + pdf dispatch) ---------------------------------
+
+def _mixed_payload(doc_id, text):
+    from nreadability_spark.sources.synth import build_pdf, pdf_paragraphs
+
+    if doc_id % 2 == 0:
+        return "html", _doc_page_shell(doc_id, text)
+    return "pdf", build_pdf(
+        f"Document {doc_id} | Synth Corpus",
+        pdf_paragraphs(text),
+        compress_streams=(doc_id % 4 == 3),
+    )
+
+
+def _mixed_row(args):
+    doc_id, text = args
+    kind, payload = _mixed_payload(doc_id, text)
+    r = _extract_one(payload, None)
+    return (
+        doc_id,
+        kind,
+        bool(r["extracted"]),
+        r["title"],
+        len(r["content_text"]),
+        len(r["spans"]),
+        r["error"],
+    )
+
+
+_MIXED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("kind", pa.string()),
+        ("extracted", pa.bool_()),
+        ("title", pa.string()),
+        ("content_len", pa.int64()),
+        ("n_spans", pa.int64()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def golden_mixed_media(pool, docs, out_dir):
+    rows = pool.map(_mixed_row, docs, chunksize=16)
+    _write(out_dir, "expected_extract_mixed_media.parquet", rows, _MIXED_SCHEMA)
+
+
 # --- transcripts -------------------------------------------------------
 
 def _conv_rows(args):
@@ -220,6 +267,7 @@ def main():
             docs = _read_documents(sf_dir)
             golden_documents(pool, docs, out_dir)
             golden_doc_pages(pool, docs, out_dir)
+            golden_mixed_media(pool, docs, out_dir)
             golden_transcripts(pool, sf_dir, out_dir)
             golden_stitch(pool, docs, out_dir)
             print(f"  done in {time.time() - t0:.1f}s")
