@@ -36,11 +36,16 @@ HEADLINE = [
     "rel_event_sessions",
     "rel_asof_join",
     "dedup_embedding_cosine",
+    "sim_centroid_fit",
     "extract_doc_pages",
+    "extract_mixed_media",
     "extract_stitch_conversations",
 ]
 
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400"))
+# 2400 conversations (~31k turns) puts the throughput headline in the
+# steady-state regime of BENCH/BASELINE.md — at 400 convs fixed job
+# overhead dominated and understated turns/sec by ~40%
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2400"))
 
 
 def _noop_run(df):
