@@ -73,30 +73,40 @@ def exploded_tokens_sql(table: str, text_expr: str = "text", id_col: str = "doc_
     )
 
 
+def _tokenized(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """Project the token array into a MATERIALIZED column before any
+    lambda touches it. Referencing the raw ``tokens(text)`` expression
+    inside a ``transform`` lambda embeds the whole split() subtree at
+    every ``element_at`` site, and codegen does NOT common-subexpression
+    -eliminate inside higher-order functions — the tokenizer re-ran per
+    element, making shingle construction quadratic per document
+    (measured 11x slower at sf0.1)."""
+    return df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= n)
+
+
 def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """DISTINCT n-word shingles per document: (id, shingle).
 
-    Built entirely map-side: the token array is sliced with a
-    ``transform`` over positions and deduplicated per document with
-    ``array_distinct`` BEFORE exploding — zero shuffles (the old
-    posexplode + lead()-window construction shuffled by document).
-    The SQL oracle twin keeps the window-based construction; the
-    shingle SETS are identical by definition, which is what every
+    Built entirely map-side: the (pre-materialized) token array is
+    sliced with a ``transform`` over positions and deduplicated per
+    document with ``array_distinct`` BEFORE exploding — zero shuffles
+    (the old posexplode + lead()-window construction shuffled by
+    document). The SQL oracle twin keeps the window-based construction;
+    the shingle SETS are identical by definition, which is what every
     consumer (signatures, Jaccard, sketches) operates on.
     """
-    toks = tokens(F.col(text_col))
-    positions = F.sequence(F.lit(0), F.size(toks) - n)
-
     def shingle_at(i):
         return F.concat_ws(
-            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
         )
 
+    positions = F.sequence(F.lit(0), F.size("toks") - n)
     shingles = F.array_distinct(F.transform(positions, shingle_at))
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return _tokenized(df, n, id_col, text_col).select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
     )
 
 
@@ -113,18 +123,15 @@ def hashed_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     """
     from nreadability_spark.functions import hashing
 
-    toks = tokens(F.col(text_col))
-    positions = F.sequence(F.lit(0), F.size(toks) - n)
-
     def hash_at(i):
         return hashing.h60(
-            F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)])
         )
 
+    positions = F.sequence(F.lit(0), F.size("toks") - n)
     hashes = F.array_distinct(F.transform(positions, hash_at))
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(hashes).alias("sh60"))
+    return _tokenized(df, n, id_col, text_col).select(
+        F.col(id_col), F.explode(hashes).alias("sh60")
     )
 
 
