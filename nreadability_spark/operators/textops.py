@@ -37,6 +37,11 @@ STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: deliberately NO pre-spread repartition here. An A/B at
+    # sf0.1 showed the single-file scan is not the bottleneck — every
+    # consumer's first shuffle (groupBy/join) already fans out, and an
+    # unconditional repartition of the raw text made minhash_lsh ~4x
+    # slower (1.6s -> 6.1s warm). Production tables have many splits.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
