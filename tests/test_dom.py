@@ -191,3 +191,26 @@ def test_clone_on_attach_when_parented():
     assert len(src.children) == 1  # original untouched
     assert len(target.children) == 1
     assert target.children[0] is not src.children[0]
+
+
+def test_set_inner_html_plain_text_fast_path_matches_parse():
+    """Fragments without '<'/'&' must produce exactly what a full parse
+    produces: one Text node, or nothing for whitespace-only input."""
+    from nreadability_spark.core.dom import Element, Text, build_document
+
+    cases = [
+        "plain text", "  leading and trailing  ", "\n\t ", "", "a > b",
+        "multi\nline\ntext", "NUL\x00byte", "quote \" and ' mix", "]]>",
+    ]
+    for s in cases:
+        fast = Element("p")
+        fast.set_inner_html(s)
+        slow = Element("p")
+        # force the parse path by routing through build_document manually
+        tmp = build_document(s)
+        if tmp.root is not None:
+            for node in tmp.root.children:
+                node.parent = slow
+                slow.children.append(node)
+        assert fast.to_html() == slow.to_html(), repr(s)
+        assert all(isinstance(c, Text) for c in fast.children)
