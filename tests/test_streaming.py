@@ -264,3 +264,117 @@ def test_stateful_offsets_large_group_multi_chunk(spark, tmp_path):
     }
     assert len(got) == n
     assert got == want
+
+
+def test_ordered_fn_buffers_out_of_order_and_dedupes():
+    """Unit: bounded-disorder reordering — rows buffer until the
+    watermark (max_seen - D) passes them, emit in turn order with true
+    cumulative offsets; duplicates and beyond-bound late rows drop."""
+    import pandas as pd
+
+    from nreadability_spark.streaming.stateful import _make_ordered_fn
+
+    fn = _make_ordered_fn(2, None, True)  # D=2
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": "c",
+                "turn_idx": [r[0] for r in rows],
+                "content_text": [r[1] for r in rows],
+                "extracted": True,
+            }
+        )
+
+    state = _FakeState()
+    # batch 1: turns 2 and 4 -> watermark 4-2=2 -> only turn 2 emits
+    (out1,) = list(fn(("c",), iter([batch([(2, "cc"), (4, "eeee")])]), state))
+    assert list(out1["turn_idx"]) == [2]
+    assert list(out1["conv_offset"]) == [0]
+    # batch 2: turn 0 is later than the bound (already emitted past it)
+    # -> dropped; duplicate 4 dropped; turn 3 buffers (watermark still 2)
+    (out2,) = list(fn(("c",), iter([batch([(0, "x"), (3, "ddd"), (4, "DUP")])]), state))
+    assert out2.empty
+    # batch 3: turn 6 -> watermark 4 -> 3 and 4 emit with exact offsets
+    (out3,) = list(fn(("c",), iter([batch([(6, "gg")])]), state))
+    assert list(out3["turn_idx"]) == [3, 4]
+    assert list(out3["conv_offset"]) == [2, 5]
+    assert list(out3["content_len"]) == [3, 4]  # original "eeee" kept
+
+
+def test_ordered_fn_timeout_flushes_pending_in_order():
+    import pandas as pd
+
+    from nreadability_spark.streaming.stateful import _make_ordered_fn
+
+    fn = _make_ordered_fn(64, 60_000, True)
+    state = _FakeState()
+    pdf = pd.DataFrame(
+        {"conv_id": "c", "turn_idx": [5, 3], "content_text": ["fffff", "ddd"],
+         "extracted": True}
+    )
+    (out,) = list(fn(("c",), iter([pdf]), state))
+    assert out.empty and state.timeout_ms == 60_000
+    state.hasTimedOut = True
+    (flushed,) = list(fn(("c",), iter([]), state))
+    assert list(flushed["turn_idx"]) == [3, 5]
+    assert list(flushed["conv_offset"]) == [0, 3]
+    assert state.removed
+
+
+def test_stream_ordered_offsets_out_of_order_batches(spark, tmp_path):
+    """End-to-end: later turns land in the FIRST micro-batch, earlier
+    turns in the second. A third batch of high-turn sentinel rows
+    advances the disorder watermark past every buffered row, releasing
+    the whole backlog — the result must equal the batch window's
+    offsets exactly (sentinels included on both sides)."""
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.plans.extract_job import extract_transcripts
+    from nreadability_spark.sources.synth import TRANSCRIPTS_SCHEMA, transcripts_df
+    from nreadability_spark.streaming.stateful import stream_conv_offsets_ordered
+
+    src = str(tmp_path / "ooo_src")
+    # conv 0 is the 600-turn skewed conversation: its front-to-back
+    # inversion (gap ~599) exceeds any reasonable disorder bound, so a
+    # bounded-disorder reorderer must drop its early turns — use only
+    # short conversations (gap <= 12 < D=16) for the exact-equality check
+    df = transcripts_df(spark, 7).where("conv_id != 'conv00000000'")
+    sentinels = (
+        df.select("conv_id").distinct()
+        .select(
+            "conv_id", F.lit(900).alias("turn_idx"), F.lit("user").alias("role"),
+            F.lit("<p>conversation end marker</p>").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    # arrival order: turns >= 3, then turns < 3, then the sentinels
+    df.where("turn_idx >= 3").coalesce(1).write.parquet(src)
+    df.where("turn_idx < 3").coalesce(1).write.mode("append").parquet(src)
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_conv_offsets_ordered(stream, max_disorder=16)
+        .writeStream.format("memory")
+        .queryName("ooo_offsets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in spark.sql("select * from ooo_offsets").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["conv_offset"]
+        for r in extract_transcripts(spark.read.parquet(src), include_html=False).collect()
+        if r["turn_idx"] != 900  # sentinels stay buffered (nothing after them)
+    }
+    assert got == want and len(got) > 0
