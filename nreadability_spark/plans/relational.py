@@ -475,6 +475,70 @@ ORDER BY c.c_custkey
 """
 
 
+# --- pivot (conditional aggregation) -----------------------------------
+
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue pivoted by return flag per line status. ``pivot`` with an
+    EXPLICIT value list compiles to one conditional hash aggregation —
+    a single shuffle with map-side partials; an implicit list would add
+    a distinct-values job first (never do that at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2))
+    )
+    return (
+        out.select(
+            "l_linestatus",
+            F.col("A").alias("rev_a"),
+            F.col("N").alias("rev_n"),
+            F.col("R").alias("rev_r"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+RETURNFLAG_PIVOT_SQL = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# --- exact quantiles ---------------------------------------------------
+
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority.
+    ``percentile`` is the exact sort-based aggregate (linear
+    interpolation — same definition as SQL ``quantile_cont``); at
+    100 TB swap in ``approx_percentile`` (t-digest, map-side
+    mergeable) and accept the documented error bound — exact
+    percentiles force a per-group sort of the full column."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
+                for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+            ]
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_revenue_by_nation": revenue_by_nation,
@@ -489,6 +553,8 @@ QUERIES = {
     "rel_asof_join": asof_join_events_orders,
     "rel_order_grouping_sets": order_grouping_sets,
     "rel_big_spenders": big_spenders,
+    "rel_returnflag_pivot": returnflag_pivot,
+    "rel_price_quantiles": order_price_quantiles,
 }
 
 ORACLES = {
@@ -505,4 +571,6 @@ ORACLES = {
     "rel_asof_join": ASOF_JOIN_SQL,
     "rel_order_grouping_sets": ORDER_GROUPING_SETS_SQL,
     "rel_big_spenders": BIG_SPENDERS_SQL,
+    "rel_returnflag_pivot": RETURNFLAG_PIVOT_SQL,
+    "rel_price_quantiles": ORDER_PRICE_QUANTILES_SQL,
 }
