@@ -37,7 +37,11 @@ from dataclasses import dataclass, field
 PARA_GAP = 20.0
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
-_TITLE_RE = re.compile(rb"/Title\s*\((.*?(?<!\\))\)", re.DOTALL)
+# literal string with escape pairs consumed atomically: a closing paren
+# after an ESCAPED backslash (e.g. "(\\)") is a real terminator — a
+# naive (?<!\\) lookbehind gets that wrong. Nested unescaped parens are
+# not supported (the builder always escapes them).
+_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
 _NUMBER_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
 

@@ -127,3 +127,36 @@ def test_pdf_paragraphs_split_is_deterministic():
     assert len(paras) == 3
     assert paras[0].split()[0] == "w0" and paras[2].split()[-1] == "w49"
     assert pdf_paragraphs("") == [""]
+
+
+# --- property-based roundtrip ------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789()\\éü,.!?",
+        min_size=1, max_size=10,
+    )
+    _para = st.lists(_word, min_size=1, max_size=40).map(" ".join)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(_para, min_size=1, max_size=6),
+        _para,
+        st.booleans(),
+    )
+    def test_build_extract_roundtrip_property(paras, title, compress):
+        """Any builder output must extract back to exactly its input
+        paragraphs and title — parens, backslashes, latin-1 accents,
+        Flate compression included."""
+        pdf = build_pdf(title, paras, compress_streams=compress)
+        r = extract_pdf(pdf)
+        assert r.extracted
+        assert r.title == title
+        # builder normalizes intra-paragraph whitespace to single spaces
+        want = [" ".join(p.split()) for p in paras]
+        assert [r.content_text[s:e] for s, e in r.spans] == want
+except ImportError:  # pragma: no cover
+    pass
