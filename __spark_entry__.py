@@ -207,9 +207,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registries():
     from nreadability_spark.operators import dedup, multimodal, similarity, stitch, textops
-    from nreadability_spark.plans import relational
+    from nreadability_spark.plans import pipeline, relational
 
-    modules = (relational, textops, dedup, similarity, multimodal, stitch)
+    modules = (relational, textops, dedup, similarity, multimodal, stitch, pipeline)
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

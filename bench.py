@@ -37,6 +37,7 @@ HEADLINE = [
     "rel_asof_join",
     "dedup_embedding_cosine",
     "sim_centroid_fit",
+    "pipeline_clean_corpus",
     "extract_doc_pages",
     "extract_mixed_media",
     "extract_stitch_conversations",

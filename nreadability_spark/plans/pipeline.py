@@ -1,0 +1,94 @@
+"""Composed training-data pipeline: the stages a corpus-cleaning job
+actually chains, as ONE lazy plan (what a user of the engine runs
+end-to-end, not operator-by-operator):
+
+    documents
+      -> quality gate   (token count)
+      -> exact dedup    (one representative per fp60 class)
+      -> near-dup prune (drop the higher doc_id of each verified
+                         MinHash-LSH pair when both survived)
+      -> surviving corpus
+
+Pruning is the greedy one-pass rule (per PAIR, not transitive
+clustering): deterministic, embarrassingly joinable, and what
+large-scale dedup pipelines ship first — connected-components
+clustering is a separate iterative job.
+
+Scale shape: the quality gate and fingerprint are map-side; the only
+added shuffles over the underlying operators are two fp60/doc_id-keyed
+joins (hash-distributed, no hot keys). The LSH stage reuses
+``dedup.minhash_lsh_pairs`` with all its skew controls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nreadability_spark.functions import hashing
+from nreadability_spark.functions import text as tx
+from nreadability_spark.operators import dedup
+from nreadability_spark.operators.textops import _norm_text, _norm_text_sql, load_documents
+
+MIN_TOKENS = 30  # quality gate
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = MIN_TOKENS) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    quality = docs.select(
+        "doc_id",
+        hashing.h60(_norm_text(F.col("text"))).alias("fp60"),
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") >= min_tokens)
+
+    reps = quality.groupBy("fp60").agg(F.min("doc_id").alias("doc_id"))
+    rep_rows = quality.join(reps.select("doc_id"), "doc_id")
+
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    rep_ids_a = rep_rows.select(F.col("doc_id").alias("doc_a"))
+    rep_ids_b = rep_rows.select(F.col("doc_id").alias("doc_b"))
+    dropped = (
+        pairs.join(rep_ids_a, "doc_a")
+        .join(rep_ids_b, "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        rep_rows.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "fp60", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def clean_corpus_sql(min_tokens: int = MIN_TOKENS) -> str:
+    lsh = dedup.minhash_lsh_sql()
+    return f"""
+WITH quality AS (
+  SELECT doc_id,
+         {hashing.h60_sql(_norm_text_sql('text'))} AS fp60,
+         CAST({tx.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE {tx.token_count_sql('text')} >= {min_tokens}
+),
+reps AS (
+  SELECT q.doc_id, q.fp60, q.n_tokens
+  FROM quality q
+  JOIN (SELECT fp60, min(doc_id) AS doc_id FROM quality GROUP BY fp60) r
+    ON r.doc_id = q.doc_id
+),
+lsh_pairs AS (SELECT doc_a, doc_b FROM ({lsh}) t),
+dropped AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM lsh_pairs p
+  JOIN reps a ON a.doc_id = p.doc_a
+  JOIN reps b ON b.doc_id = p.doc_b
+)
+SELECT doc_id, fp60, n_tokens
+FROM reps
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
+QUERIES = {"pipeline_clean_corpus": clean_corpus}
+ORACLES = {"pipeline_clean_corpus": clean_corpus_sql()}
