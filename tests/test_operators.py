@@ -349,3 +349,39 @@ def test_ngram_posting_cap_bounds_join(spark, tmp_path):
     # the shared-shingle contributions are gone; remaining pairs only
     # from incidental overlaps
     assert capped.count() < full.count()
+
+
+def test_duplicate_components_are_consistent(spark):
+    """Every near-dup pair must land in the same component, and each
+    component's id must be its minimum member."""
+    from nreadability_spark.operators import dedup
+
+    comp = {r["doc_id"]: r["component"] for r in dedup.duplicate_components(spark, SF_DIR).collect()}
+    pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    assert pairs and comp
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    groups = {}
+    for d, c in comp.items():
+        groups.setdefault(c, []).append(d)
+    for c, members in groups.items():
+        assert c == min(members)
+
+
+def test_duplicate_components_transitive_chain(spark, tmp_path):
+    """A near-dup CHAIN a-b-c (a~b, b~c, but a and c farther apart) must
+    collapse into one component via propagation, not direct pairing."""
+    from nreadability_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    doc_a = " ".join(words)
+    doc_b = " ".join(words[:-3] + ["endone", "endtwo", "endthree"])   # ~b close to a
+    doc_c = " ".join(words[3:] + ["endone", "endtwo", "endthree"])    # ~c close to b
+    texts = [doc_a, doc_b, doc_c, "completely different unrelated content words here now"]
+    _write_docs(spark, str(tmp_path), texts)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(spark, str(tmp_path)).collect()}
+    comp = {r["doc_id"]: r["component"] for r in dedup.duplicate_components(spark, str(tmp_path)).collect()}
+    if {(0, 1), (1, 2)} <= pairs:  # the chain actually formed at this threshold
+        assert comp[0] == comp[1] == comp[2] == 0
