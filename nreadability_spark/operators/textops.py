@@ -244,11 +244,60 @@ FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """
 
+# --- benchmark decontamination -----------------------------------------
+
+DECON_NGRAM = 8
+DECON_BENCH_EVERY = 50  # every 50th doc plays the "evaluation set"
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_NGRAM,
+    bench_every: int = DECON_BENCH_EVERY,
+) -> DataFrame:
+    """Benchmark-overlap decontamination: flag training documents that
+    share any ``n``-gram with the held-out evaluation set (here a
+    deterministic 2% slice standing in for a real benchmark corpus).
+    Returns (doc_id, n_overlapping_shingles) for contaminated docs.
+
+    Scale shape: the eval set's n-gram hash table is small (benchmarks
+    are thousands of documents, not billions) and BROADCAST; the
+    training side streams through one map-side shingle-hash stage and a
+    broadcast semi-join — no shuffle of the corpus. The 8-gram grain is
+    the published standard for benchmark decontamination."""
+    docs = load_documents(spark, sf_dir)
+    sh = tx.hashed_shingles(docs, n=n)
+    bench = (
+        sh.where(F.col("doc_id") % bench_every == 0).select("sh60").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % bench_every != 0)
+        .join(F.broadcast(bench), "sh60")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql(n: int = DECON_NGRAM, bench_every: int = DECON_BENCH_EVERY) -> str:
+    return f"""
+WITH sh AS ({tx.hashed_shingles_sql('documents', n)}),
+bench AS (SELECT DISTINCT sh60 FROM sh WHERE doc_id % {bench_every} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlapping_shingles
+FROM sh s JOIN bench b ON s.sh60 = b.sh60
+WHERE s.doc_id % {bench_every} != 0
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
     "text_lang_id": lang_id,
     "text_fingerprints": fingerprints,
+    "text_decontaminate": decontaminate,
 }
 
 ORACLES = {
@@ -256,4 +305,5 @@ ORACLES = {
     "text_quality_scores": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,
+    "text_decontaminate": decontaminate_sql(),
 }
