@@ -292,12 +292,63 @@ ORDER BY s.doc_id
 """
 
 
+# --- deterministic train/val/test split --------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # remainder is test
+
+
+def train_val_split(
+    spark: SparkSession,
+    sf_dir: str,
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+) -> DataFrame:
+    """Content-hash split assignment: bucket = h60(normalized text) mod
+    100 -> train/val/test. Hashing the CONTENT (not the id) keeps exact
+    duplicates in the same split — the property that prevents
+    train/test leakage through duplicated documents — and the split is
+    stable under re-ingestion, repartitioning, and engine changes
+    (portable md5 hash). Embarrassingly parallel; the groupBy here just
+    reports per-language split sizes."""
+    docs = load_documents(spark, sf_dir)
+    bucket = hashing.h60(_norm_text(F.col("text"))) % F.lit(100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def train_val_split_sql(
+    train_pct: int = SPLIT_TRAIN_PCT, val_pct: int = SPLIT_VAL_PCT
+) -> str:
+    bucket = f"({hashing.h60_sql(_norm_text_sql('text'))} % 100)"
+    return f"""
+SELECT lang,
+       CASE WHEN {bucket} < {train_pct} THEN 'train'
+            WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
     "text_lang_id": lang_id,
     "text_fingerprints": fingerprints,
     "text_decontaminate": decontaminate,
+    "text_train_val_split": train_val_split,
 }
 
 ORACLES = {
@@ -306,4 +357,5 @@ ORACLES = {
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,
     "text_decontaminate": decontaminate_sql(),
+    "text_train_val_split": train_val_split_sql(),
 }
