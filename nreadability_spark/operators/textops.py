@@ -342,6 +342,112 @@ ORDER BY lang, split
 """
 
 
+# --- intra-document repetition (Gopher-style quality signal) -----------
+
+def repetition_scores(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Duplicate-n-gram ratio per document: 1 - distinct/total 3-gram
+    occurrences — the published repetition filter for generated/spammy
+    text (a page repeating one sentence scores near 1). Entirely
+    map-side: the token array is materialized once, sliced and hashed
+    in-array, counted with and without array_distinct; no shuffle."""
+    docs = load_documents(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    pre = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= n)
+    positions = F.sequence(F.lit(0), F.size("toks") - n)
+
+    def hash_at(i):
+        return hashing.h60(
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)])
+        )
+
+    hashes = F.transform(positions, hash_at)
+    return (
+        pre.select(
+            "doc_id",
+            F.size(hashes).cast("long").alias("n_ngrams"),
+            F.size(F.array_distinct(hashes)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_ngrams"), 4).alias("dup_ngram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_scores_sql(n: int = 3) -> str:
+    # non-distinct shingles: the window construction without DISTINCT
+    toks = tx.exploded_tokens_sql("documents")
+    leads = ["tok"] + [
+        f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)" for i in range(1, n)
+    ]
+    lead_cols = ", ".join(f"{e} AS t{j}" for j, e in enumerate(leads))
+    non_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n))
+    concat = " || ' ' || ".join(f"t{j}" for j in range(n))
+    return f"""
+WITH grams AS (
+  SELECT doc_id, {hashing.h60_sql(f"({concat})")} AS g
+  FROM (SELECT doc_id, pos, {lead_cols} FROM ({toks}) base) leads
+  WHERE {non_null}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(1 - count(DISTINCT g) / count(*), 4) AS dup_ngram_ratio
+FROM grams
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- PII pattern scan ---------------------------------------------------
+
+# deliberately simple, portable regexes (same syntax both engines)
+PII_PATTERNS = {
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phones": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII pattern counts (emails/phones/SSN-shaped) — the
+    redaction pre-scan of a cleaning pipeline. Pure regexp_count scalar
+    expressions, embarrassingly parallel; only documents with at least
+    one hit are returned (at 100 TB the clean majority is the corpus —
+    don't materialize zero rows)."""
+    docs = load_documents(spark, sf_dir)
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, rx in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *counts)
+    any_hit = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return out.where(any_hit).orderBy("doc_id")
+
+
+def pii_scan_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, rx in PII_PATTERNS.items()
+    )
+    where = " OR ".join(
+        f"len(regexp_extract_all(text, '{rx}')) > 0" for rx in PII_PATTERNS.values()
+    )
+    return f"""
+SELECT doc_id,
+       {cols}
+FROM documents
+WHERE {where}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -349,6 +455,8 @@ QUERIES = {
     "text_fingerprints": fingerprints,
     "text_decontaminate": decontaminate,
     "text_train_val_split": train_val_split,
+    "text_repetition": repetition_scores,
+    "text_pii_scan": pii_scan,
 }
 
 ORACLES = {
@@ -358,4 +466,6 @@ ORACLES = {
     "text_fingerprints": FINGERPRINTS_SQL,
     "text_decontaminate": decontaminate_sql(),
     "text_train_val_split": train_val_split_sql(),
+    "text_repetition": repetition_scores_sql(),
+    "text_pii_scan": pii_scan_sql(),
 }
