@@ -407,7 +407,7 @@ ORDER BY doc_id
 # deliberately simple, portable regexes (same syntax both engines)
 PII_PATTERNS = {
     "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
-    "phones": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "phones": r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
     "ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
 }
 

@@ -385,3 +385,31 @@ def test_duplicate_components_transitive_chain(spark, tmp_path):
     comp = {r["doc_id"]: r["component"] for r in dedup.duplicate_components(spark, str(tmp_path)).collect()}
     if {(0, 1), (1, 2)} <= pairs:  # the chain actually formed at this threshold
         assert comp[0] == comp[1] == comp[2] == 0
+
+
+def test_repetition_flags_repeated_content(spark, tmp_path):
+    from nreadability_spark.operators import textops
+
+    texts = [
+        "one two three four five " * 40,                        # highly repetitive
+        " ".join(f"w{i} x{i*7%13} y{i*3%11}" for i in range(60)),  # mostly unique
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {r["doc_id"]: r["dup_ngram_ratio"] for r in textops.repetition_scores(spark, str(tmp_path)).collect()}
+    assert rows[0] > 0.9
+    assert rows[1] < 0.3
+
+
+def test_pii_scan_finds_planted_patterns(spark, tmp_path):
+    from nreadability_spark.operators import textops
+
+    texts = [
+        "contact me at jane.doe@example.com or call 555-123-4567 today",
+        "perfectly clean document text with no contact information at all",
+        "ssn 123-45-6789 leaked in this row",
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {r["doc_id"]: r for r in textops.pii_scan(spark, str(tmp_path)).collect()}
+    assert 1 not in rows  # clean doc not materialized
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] >= 1
+    assert rows[2]["n_ssns"] == 1
