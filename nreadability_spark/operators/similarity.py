@@ -499,10 +499,75 @@ ORDER BY vec_a, vec_b
 """
 
 
+
+
+# --- int8 scalar quantization ------------------------------------------
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization stats: scale =
+    max(|x|)/127, q_i = round(x_i/scale), reconstruction MSE — the
+    compression step an embedding store applies before ANN serving
+    (4x smaller vectors; IVF assignment runs on dequantized values).
+    Map-side only: in-array transforms + one sequential-order aggregate
+    per vector (parity with the SQL twin's list ops); no shuffle."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(F.col("e"), lambda x: F.round(x / F.col("scale")))
+    # sequential-order sum of squared reconstruction errors
+    sse = F.aggregate(
+        F.zip_with(F.col("e"), F.col("q"), lambda x, qq: (x - qq * F.col("scale")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale_r"),
+            F.round(sse / F.size("e"), 9).alias("mse"),
+            F.array_max("q").cast("long").alias("q_max"),
+            F.array_min("q").cast("long").alias("q_min"),
+        )
+        .withColumnRenamed("scale_r", "scale")
+        .orderBy("vec_id")
+    )
+
+
+def quantize_int8_sql() -> str:
+    return """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+quant AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> round(x / scale)) AS q
+  FROM scaled
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       round(list_sum(list_transform(range(1, len(e) + 1),
+             i -> pow(e[i] - q[i] * scale, 2))) / len(e), 9) AS mse,
+       CAST(list_max(q) AS BIGINT) AS q_max,
+       CAST(list_min(q) AS BIGINT) AS q_min
+FROM quant
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_knn_ivf": knn_ivf,
     "sim_centroid_fit": centroid_fit,
+    "sim_quantize_int8": quantize_int8,
     "dedup_embedding_cosine": embedding_near_dups,
 }
 
@@ -510,5 +575,6 @@ ORACLES = {
     "sim_knn_brute_force": knn_brute_force_sql(),
     "sim_knn_ivf": knn_ivf_sql(),
     "sim_centroid_fit": centroid_fit_sql(),
+    "sim_quantize_int8": quantize_int8_sql(),
     "dedup_embedding_cosine": embedding_near_dups_sql(),
 }
