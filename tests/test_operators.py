@@ -413,3 +413,66 @@ def test_pii_scan_finds_planted_patterns(spark, tmp_path):
     assert 1 not in rows  # clean doc not materialized
     assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] >= 1
     assert rows[2]["n_ssns"] == 1
+
+
+def test_quantize_int8_codes_in_range(spark):
+    from nreadability_spark.operators import similarity
+
+    rows = similarity.quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["mse"] < r["scale"] ** 2  # error bounded by half-step^2 << scale^2
+        assert r["scale"] > 0
+
+
+def test_train_val_split_fractions_and_leakage(spark, tmp_path):
+    """Split sizes near 90/5/5 and — the leakage property — exact
+    duplicates always land in the same split."""
+    from nreadability_spark.operators import textops
+    from pyspark.sql import functions as F
+
+    texts = [f"document number {i} with some distinct words w{i * 3} w{i * 7}" for i in range(400)]
+    texts += texts[:50]  # 50 exact duplicates
+    _write_docs(spark, str(tmp_path), texts)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet").withColumn(
+        "lang", F.lit("en")
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/d2/documents.parquet")
+    counts = {
+        (r["split"]): r["n_docs"]
+        for r in textops.train_val_split(spark, str(tmp_path / "d2")).collect()
+    }
+    total = sum(counts.values())
+    assert total == 450
+    assert counts.get("train", 0) > 0.8 * total  # ~90% ± sampling noise
+    # leakage: duplicates share content hash -> same split by construction;
+    # verify via the bucket expression on the duplicated rows
+    from nreadability_spark.functions import hashing
+    from nreadability_spark.operators.textops import _norm_text
+
+    b = docs.select(
+        "doc_id", (hashing.h60(_norm_text(F.col("text"))) % 100).alias("bucket")
+    ).collect()
+    bucket = {r["doc_id"]: r["bucket"] for r in b}
+    for i in range(50):
+        assert bucket[i] == bucket[400 + i]
+
+
+def test_decontaminate_flags_benchmark_duplicates(spark, tmp_path):
+    from nreadability_spark.operators import textops
+
+    bench_text = "held out evaluation question about the quick brown fox jumping high"
+    texts = []
+    for i in range(120):
+        if i % 50 == 0:
+            texts.append(bench_text + f" variant {i}")   # benchmark rows (doc 0, 50, 100)
+        elif i == 7:
+            texts.append(bench_text + " leaked into training verbatim prefix")
+        else:
+            texts.append(f"ordinary training doc {i} " + " ".join(f"t{i}_{j}" for j in range(12)))
+    _write_docs(spark, str(tmp_path), texts)
+    flagged = {r["doc_id"] for r in textops.decontaminate(spark, str(tmp_path)).collect()}
+    assert 7 in flagged          # shares 8-grams with the benchmark
+    assert 0 not in flagged      # benchmark rows themselves excluded
+    assert 13 not in flagged     # ordinary doc untouched
