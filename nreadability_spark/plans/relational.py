@@ -539,6 +539,42 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- JSON scalar functions over event props ----------------------------
+
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction as a scalar expression: parse the ``props`` JSON
+    column, pull the numeric field, aggregate per event type. The
+    extraction runs inside whole-stage codegen (no UDF, no shuffle of
+    the raw JSON — only (event_type, k) reaches the aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_PROPS_JSON_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) AS avg_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_revenue_by_nation": revenue_by_nation,
@@ -555,6 +591,7 @@ QUERIES = {
     "rel_big_spenders": big_spenders,
     "rel_returnflag_pivot": returnflag_pivot,
     "rel_price_quantiles": order_price_quantiles,
+    "rel_event_props_json": event_props_json,
 }
 
 ORACLES = {
@@ -573,4 +610,5 @@ ORACLES = {
     "rel_big_spenders": BIG_SPENDERS_SQL,
     "rel_returnflag_pivot": RETURNFLAG_PIVOT_SQL,
     "rel_price_quantiles": ORDER_PRICE_QUANTILES_SQL,
+    "rel_event_props_json": EVENT_PROPS_JSON_SQL,
 }
