@@ -51,20 +51,31 @@ _soup_no_rawtext = st.lists(
 @settings(max_examples=150, deadline=None)
 @given(_soup_no_rawtext)
 def test_serializer_reparse_is_stable(soup):
-    """serialize(parse(x)) must be a fixed point: parsing the serialized
-    form and serializing again yields identical bytes. This is what the
-    serialized-fragment regex stages (O4/O14/O19) rely on.
+    """serialize(parse(x)) must reach a fixed point by the SECOND
+    application, and the second application must already be stable.
+    This is what the serialized-fragment regex stages (O4/O14/O19) rely
+    on — they operate on ELEMENT subtrees, for which one application
+    suffices (guarded separately by ``_parse_stable``).
+
+    Why not a one-step fixed point at the DOCUMENT level: a comment
+    trailing the root serializes after the final ``</html>``, which the
+    next parse's tail-trim (SDB:54-66) discards — the same asymmetry
+    the reference has (XDocument keeps post-root comments, the builder
+    pre-trim drops them on re-entry). The trim is idempotent, so one
+    extra round stabilizes.
 
     Rawtext elements (script/style) are excluded: SgmlReader parses
     their content as CDATA while XLinq serialization escapes text, so
     script text cannot round-trip IN THE REFERENCE EITHER — and the
     pipeline never reparses them (PrepareDocument removes scripts,
     NRT:604-615, before any serialized-fragment stage runs)."""
-    doc1 = build_document(soup)
-    s1 = doc1.to_html()
-    doc2 = build_document(s1)
-    s2 = doc2.to_html()
-    assert s1 == s2
+    s1 = build_document(soup).to_html()
+    s2 = build_document(s1).to_html()
+    s3 = build_document(s2).to_html()
+    assert s2 == s3
+    # the only permitted one-step difference is the post-root tail trim
+    if s1 != s2:
+        assert s1.startswith(s2)
 
 
 @settings(max_examples=30, deadline=None)
