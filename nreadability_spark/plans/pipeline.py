@@ -33,7 +33,20 @@ from nreadability_spark.operators.textops import _norm_text, _norm_text_sql, loa
 MIN_TOKENS = 30  # quality gate
 
 
-def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = MIN_TOKENS) -> DataFrame:
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = MIN_TOKENS,
+    near_dup_strategy: str = "greedy",
+) -> DataFrame:
+    """``near_dup_strategy``:
+
+    - ``greedy`` (oracle-pinned): drop the higher doc_id of each
+      verified pair — one join pass, keeps one doc per PAIR.
+    - ``components``: drop every non-minimum member of each transitive
+      near-dup cluster (``dedup.duplicate_components``) — stricter
+      (chains a~b~c collapse to one survivor even when a,c never
+      paired directly); the iterative-job composition."""
     docs = load_documents(spark, sf_dir)
     quality = docs.select(
         "doc_id",
@@ -44,15 +57,19 @@ def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = MIN_TOKENS)
     reps = quality.groupBy("fp60").agg(F.min("doc_id").alias("doc_id"))
     rep_rows = quality.join(reps.select("doc_id"), "doc_id")
 
-    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    rep_ids_a = rep_rows.select(F.col("doc_id").alias("doc_a"))
-    rep_ids_b = rep_rows.select(F.col("doc_id").alias("doc_b"))
-    dropped = (
-        pairs.join(rep_ids_a, "doc_a")
-        .join(rep_ids_b, "doc_b")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    if near_dup_strategy == "components":
+        comp = dedup.duplicate_components(spark, sf_dir)
+        dropped = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    else:
+        pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        rep_ids_a = rep_rows.select(F.col("doc_id").alias("doc_a"))
+        rep_ids_b = rep_rows.select(F.col("doc_id").alias("doc_b"))
+        dropped = (
+            pairs.join(rep_ids_a, "doc_a")
+            .join(rep_ids_b, "doc_b")
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
     return (
         rep_rows.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "fp60", "n_tokens")

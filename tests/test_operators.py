@@ -476,3 +476,15 @@ def test_decontaminate_flags_benchmark_duplicates(spark, tmp_path):
     assert 7 in flagged          # shares 8-grams with the benchmark
     assert 0 not in flagged      # benchmark rows themselves excluded
     assert 13 not in flagged     # ordinary doc untouched
+
+
+def test_clean_corpus_components_stricter_than_greedy(spark):
+    """Transitive-cluster pruning must keep a subset of the greedy
+    survivors (chains collapse further), and both must pass the quality
+    gate."""
+    from nreadability_spark.plans.pipeline import clean_corpus
+
+    greedy = {r["doc_id"] for r in clean_corpus(spark, SF_DIR).collect()}
+    comps = {r["doc_id"] for r in clean_corpus(spark, SF_DIR, near_dup_strategy="components").collect()}
+    assert comps <= greedy
+    assert comps  # non-empty
