@@ -395,7 +395,11 @@ class Element(_Container):
         payloads."""
         self.remove_all()
         if html and "<" not in html and "&" not in html:
-            if html.strip(XML_WHITESPACE):
+            # emptiness gate matches build_document's (str.strip(), which
+            # also covers \x0b/\x0c and Unicode spaces): a form-feed-only
+            # fragment must produce no node on BOTH paths, like .NET's
+            # IsNullOrWhiteSpace
+            if html.strip():
                 text = Text(html)
                 text.parent = self
                 text._pos = 0

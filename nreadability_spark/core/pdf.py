@@ -45,6 +45,18 @@ _TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
 _NUMBER_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
 
+_STREAM_BODY_RE = re.compile(rb"stream\r?\n.*?endstream", re.DOTALL)
+
+
+def _strip_stream_bodies(data: bytes) -> bytes:
+    """The file with every ``stream ... endstream`` payload blanked —
+    the region metadata scans (/Title, /Encrypt) must search, so a
+    content stream containing literal ``/Title (x)`` or ``/Encrypt``
+    page text cannot masquerade as the Info dict / trailer entry.
+    Object dictionaries and the trailer survive untouched."""
+    return _STREAM_BODY_RE.sub(b"stream\nendstream", data)
+
+
 class PdfGated(Exception):
     """Raised for well-formed PDFs this extractor refuses to guess at
     (encryption); surfaces in the job's ``error`` column."""
@@ -303,10 +315,14 @@ def extract_pdf(payload: str | bytes) -> PdfResult:
     result-shaped. Raises ``PdfGated`` for encrypted files; malformed
     input yields ``extracted=False`` (never a crash on a hostile row)."""
     data = payload.encode("latin-1", "replace") if isinstance(payload, str) else payload
-    if b"/Encrypt" in data:
+    # metadata scans run on the stream-blanked view: page text inside a
+    # content stream must never supply the title or trip the encryption
+    # gate (dictionaries and the trailer are outside stream bodies)
+    meta_view = _strip_stream_bodies(data)
+    if b"/Encrypt" in meta_view:
         raise PdfGated("encrypted PDF: decryption not supported")
 
-    title_m = _TITLE_RE.search(data)
+    title_m = _TITLE_RE.search(meta_view)
     title = _unescape_pdf_string(title_m.group(1)) if title_m else None
 
     runs: list[_TextRun] = []

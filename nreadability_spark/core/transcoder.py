@@ -829,8 +829,18 @@ def _parse_stable(element):
       Top-level children are exempt: the fragment reparse opens them
       under a fresh ``html`` root, which is never popped;
     - no whitespace-only Text nodes (dropped by the parser) and no
-      adjacent Text siblings (merged by the parser).
+      adjacent Text siblings (merged by the parser);
+    - no Comment before the first Element/Text among the TOP-LEVEL
+      children (including the comments-only case): the fragment reparse
+      attaches pre-root comments to the temp Document, and
+      ``set_inner_html`` copies only ``tmp.root.children`` — a real
+      reparse drops them, so the elided path must not keep them.
     """
+    for node in element.children:
+        if isinstance(node, Comment):
+            return False
+        if isinstance(node, (Element, Text)):
+            break
     stack = [element]
     while stack:
         parent = stack.pop()

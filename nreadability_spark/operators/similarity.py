@@ -515,7 +515,12 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     absmax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
     scale = absmax / F.lit(127.0)
-    q = F.transform(F.col("e"), lambda x: F.round(x / F.col("scale")))
+    # zero guard: an all-zero embedding gives scale 0, and 0/0 semantics
+    # differ between engines (Spark NULL vs IEEE NaN) — divide by
+    # greatest(scale, tiny) IDENTICALLY in both twins so q = 0 and
+    # mse = 0 deterministically for zero vectors
+    safe = F.greatest(F.col("scale"), F.lit(1e-300))
+    q = F.transform(F.col("e"), lambda x: F.round(x / safe))
     # sequential-order sum of squared reconstruction errors
     sse = F.aggregate(
         F.zip_with(F.col("e"), F.col("q"), lambda x, qq: (x - qq * F.col("scale")) ** 2),
@@ -549,7 +554,7 @@ scaled AS (
 ),
 quant AS (
   SELECT vec_id, e, scale,
-         list_transform(e, x -> round(x / scale)) AS q
+         list_transform(e, x -> round(x / greatest(scale, 1e-300))) AS q
   FROM scaled
 )
 SELECT vec_id,

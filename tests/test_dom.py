@@ -201,6 +201,10 @@ def test_set_inner_html_plain_text_fast_path_matches_parse():
     cases = [
         "plain text", "  leading and trailing  ", "\n\t ", "", "a > b",
         "multi\nline\ntext", "NUL\x00byte", "quote \" and ' mix", "]]>",
+        # form-feed / vertical-tab only: str.strip() whitespace that the
+        # old XML_WHITESPACE gate missed — must yield no node on BOTH
+        # paths (.NET IsNullOrWhiteSpace covers these)
+        "\x0c", "\x0b", " \x0b\x0c ",
     ]
     for s in cases:
         fast = Element("p")

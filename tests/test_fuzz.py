@@ -100,10 +100,40 @@ _mutation_soup = st.lists(
         st.sampled_from([
             "<div><li>item</li></div>", "<div><p>par</p></div>",
             "<div><tr><td>c</td></tr></div>", "<div><dd>d</dd></div>",
+            # leading-comment shapes: a reparse drops a comment that
+            # precedes the first element/text of a fragment (pre-root
+            # comments attach to the temp Document), so the elided path
+            # must bail out on them
+            "<div><!--lead--><p>par</p></div>", "<div><!--only--></div>",
+            "<body><!--lead-->", "<!--lead-->",
         ]),
     ),
     max_size=40,
 ).map("".join)
+
+
+def test_leading_comment_elision_matches_reparse():
+    """Deterministic regression for the pre-root-comment divergence: a
+    comment BEFORE the first element of a fragment is attached to the
+    temp Document by the reparse and dropped by set_inner_html, so the
+    elided fast path must not keep it either."""
+    import nreadability_spark.core.transcoder as T
+
+    body = "Readable sentence, with commas, that scores well in the pass. " * 10
+    for soup in (
+        f"<html><body><!--lead--><p>{body}</p></body></html>",
+        f"<div><!--lead--><p>{body}</p></div>",
+        f"<div><!--only--></div><p>{body}</p>",
+    ):
+        fast = extract(soup)
+        orig = T._parse_stable
+        T._parse_stable = lambda e: False
+        try:
+            slow = extract(soup)
+        finally:
+            T._parse_stable = orig
+        assert fast.content_html == slow.content_html, soup
+        assert fast.html == slow.html, soup
 
 
 @settings(max_examples=150, deadline=None)

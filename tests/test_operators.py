@@ -488,3 +488,124 @@ def test_clean_corpus_components_stricter_than_greedy(spark):
     comps = {r["doc_id"] for r in clean_corpus(spark, SF_DIR, near_dup_strategy="components").collect()}
     assert comps <= greedy
     assert comps  # non-empty
+
+
+def test_simhash_64bit_keyspace_bounds_buckets(spark, tmp_path):
+    """The width flood test behind the 32->64-bit widening: with 8-bit
+    chunk keys (256 buckets/chunk) a few hundred DISTINCT documents
+    already pile many docs into the same candidate bucket (the join
+    goes quadratic at crawl scale); 16-bit keys keep buckets near
+    singleton size on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.operators import dedup
+
+    texts = [
+        " ".join(f"word{(i * 31 + j * 7) % 997}_{j}" for j in range(25))
+        for i in range(300)
+    ]
+    _write_docs(spark, str(tmp_path), texts)
+    docs = dedup.load_documents(spark, str(tmp_path))
+
+    def max_bucket(bits):
+        sims = dedup.simhash_values(docs, bits=bits)
+        ch = dedup._simhash_chunk_table(sims, bits, dedup.SIMHASH_CHUNKS)
+        return (
+            ch.groupBy("chunk", "chunk_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    m32, m64 = max_bucket(32), max_bucket(64)
+    # 300 docs over 256 8-bit buckets/chunk: pigeonhole forces collisions
+    assert m32 >= 3
+    # 16-bit keys (65,536 buckets/chunk): near-singleton buckets
+    assert m64 <= 2
+    assert m64 < m32
+
+
+def test_simhash_hamming_still_exact_at_64bit(spark, tmp_path):
+    """A one-token edit of a 40-token doc must surface as a candidate
+    pair with a small, exactly-verified Hamming distance at 64 bits."""
+    from nreadability_spark.operators import dedup
+
+    base = " ".join(f"tok{j}" for j in range(40))
+    texts = [base, base.replace("tok7", "changed"), "wholly different text entirely"]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = dedup.simhash_pairs(spark, str(tmp_path), max_dist=16).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 16
+    assert (0, 2) not in pairs
+
+
+def test_components_round_plan_depth_constant(spark):
+    """localCheckpoint must truncate lineage every BSP round: the
+    optimized plan of the label table stays a constant-size leaf scan
+    across rounds instead of layering one join per round."""
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "doc_a: long, doc_b: long"
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("component"))
+        .select("doc_id", F.least("component", "doc_id").alias("component"))
+        .localCheckpoint()
+    )
+    depths = []
+    for _ in range(10):
+        labels, changed = dedup._cc_round(edges, labels)
+        plan = labels._jdf.queryExecution().optimizedPlan().toString()
+        depths.append(len(plan.strip().splitlines()))
+        if changed == 0:
+            break
+    assert len(depths) >= 3  # the 0-..-5 path needs several rounds
+    assert len(set(depths)) == 1
+    # converged labels: min reachable doc_id per chain
+    final = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert final == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 7: 7, 8: 7}
+    edges.unpersist()
+
+
+def test_components_nonconvergence_raises(spark, tmp_path):
+    """No silent caps: exhausting max_iters without convergence must
+    raise, not return partial labels that diverge from the oracle."""
+    from nreadability_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    _write_docs(spark, str(tmp_path), [base, base + " tail", "unrelated other words here now"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_components(spark, str(tmp_path), max_iters=0)
+
+
+def test_quantize_int8_zero_vector_parity(spark, tmp_path):
+    """An all-zero embedding must quantize to q=0 / mse=0 / scale=0 on
+    BOTH engines (the guarded divide) — no NULL/NaN divergence."""
+    import duckdb as _duckdb
+
+    from nreadability_spark.operators import similarity
+
+    rows = [
+        (0, [0.0] * similarity.DIM),
+        (1, [(j % 7 - 3) / 3.0 for j in range(similarity.DIM)]),
+    ]
+    spark.createDataFrame(rows, "vec_id: long, embedding: array<float>").coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    assert_matches_oracle(
+        similarity.quantize_int8(spark, str(tmp_path)), similarity.quantize_int8_sql(), con
+    )
+    zero = similarity.quantize_int8(spark, str(tmp_path)).where("vec_id = 0").collect()[0]
+    assert (zero["scale"], zero["mse"], zero["q_max"], zero["q_min"]) == (0.0, 0.0, 0, 0)
+    con.close()

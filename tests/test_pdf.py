@@ -95,6 +95,25 @@ def test_unsupported_filter_stream_is_skipped():
     assert r.content_text == "flate"
 
 
+def test_stream_body_cannot_supply_title_or_trip_encrypt_gate():
+    """Hostile/coincidental page text: an uncompressed content stream
+    containing literal ``/Title (fake)`` and ``/Encrypt`` BEFORE the
+    Info dict must neither supply the title nor gate the file — the
+    metadata scans search only outside stream...endstream bodies."""
+    content = "BT /F1 12 Tf 1 0 0 1 72 720 Tm (visible text) Tj ET\n% /Title (fake) /Encrypt\n"
+    pdf = (
+        "%PDF-1.4\n"
+        "4 0 obj <</Length " + str(len(content)) + ">>\nstream\n"
+        + content + "endstream endobj\n"
+        "5 0 obj << /Title (Real Title) >> endobj\n"
+        "trailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+    )
+    r = extract_pdf(pdf)
+    assert r.extracted
+    assert r.title == "Real Title"
+    assert r.content_text == "visible text"
+
+
 def test_malformed_inputs_never_raise():
     for payload in ["%PDF-1.4", "%PDF-1.4\nstream\nendstream", "%PDF-\x00\xff garbage",
                     "%PDF-1.4\n" + "(" * 1000, "%PDF-1.4\n<<<<>>"]:
