@@ -129,40 +129,18 @@ def _extract_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _extract_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule's content-type dispatch end-to-end: even doc_ids
-    rendered as web pages (JVM-side concat), odd doc_ids as synthetic
-    PDFs (FlateDecode for every 4th doc) — one extraction UDF sniffs the
-    payload and routes HTML to the NReadability core, PDF to the layout
-    parser (``core/pdf.py``). PDF synthesis is a batch ``mapInPandas``
-    stage (input fixture generation, not part of the measured pipeline)."""
+    rendered as web pages, odd doc_ids as synthetic PDFs (FlateDecode
+    for every 4th doc) — one extraction UDF sniffs the payload and
+    routes HTML to the NReadability core, PDF to the layout parser
+    (``core/pdf.py``). The mixed corpus is materialized ONCE to a cache
+    parquet (``sources.synth.materialize_mixed``): the measured query
+    is a scan + extraction, not input synthesis."""
     from nreadability_spark.operators.extract import extract_columns
+    from nreadability_spark.sources.synth import materialize_mixed
 
     _ship_package(spark)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-    docs = _salted(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    shelled = docs.select("doc_id", _page_shell().alias("html_payload"), "text")
-
-    def gen(batches):
-        from nreadability_spark.sources.synth import build_pdf, pdf_paragraphs
-
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            payloads, kinds = [], []
-            for doc_id, html_payload, text in zip(ids, pdf["html_payload"], pdf["text"]):
-                if doc_id % 2 == 0:
-                    payloads.append(html_payload)
-                    kinds.append("html")
-                else:
-                    payloads.append(
-                        build_pdf(
-                            f"Document {doc_id} | Synth Corpus",
-                            pdf_paragraphs(text),
-                            compress_streams=(doc_id % 4 == 3),
-                        )
-                    )
-                    kinds.append("pdf")
-            yield pdf.assign(text=payloads, kind=kinds)[["doc_id", "kind", "text"]]
-
-    mixed = shelled.mapInPandas(gen, schema="doc_id long, kind string, text string")
+    mixed = _salted(spark.read.parquet(materialize_mixed(spark, sf_dir)))
     out = extract_columns(mixed, include_html=False)
     return _ordered_small(
         out.select(

@@ -3,17 +3,18 @@
 A 100 TB training-data table carries image/audio/video as opaque
 ``binary`` columns. This module implements the Spark-side plumbing —
 schema, Arrow-batched ``mapInPandas`` decode stage, partition-friendly
-metadata extraction — with the actual media decode STUBBED (no
-image/audio libraries in this sandbox):
+metadata extraction — with a REAL stdlib image-header decoder:
 
-- ``decode_stub=True`` (default): a clearly-marked deterministic fake
-  decoder derives metadata (format/width/height) from the md5 of the
-  payload bytes — so the full pipeline (binary column -> mapInPandas ->
-  typed struct) runs and is testable, and the values are reproducible
-  by the SQL oracle.
-- ``decode_stub=False``: raises ``NotImplementedError`` at the exact
-  call site where ``PIL.Image.open`` / ``soundfile.read`` would run on
-  a real cluster.
+- ``media="image"`` (default): parse format/width/height straight from
+  the payload bytes — PNG IHDR, JPEG SOFn frame header, GIF logical
+  screen descriptor (public format specs; zero dependencies).
+  Unrecognized bytes yield ``("unknown", NULL, NULL)`` — total, never a
+  crash on a hostile row.
+- ``media="audio"`` / ``media="video"``: raises ``NotImplementedError``
+  at the exact call site where ``soundfile.read`` / an ``av`` container
+  parser would run on a real cluster (no audio/video libraries in this
+  sandbox). Frame SAMPLING keeps a deterministic md5-derived stub so
+  the distributed plumbing (explode shape, schema) stays testable.
 
 The batch iterator shape (``Iterator[pd.DataFrame] ->
 Iterator[pd.DataFrame]``) is the real production signature: one Arrow
@@ -25,12 +26,11 @@ large — same tuning as the HTML extraction UDF).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
-
-FORMATS = ("jpeg", "png", "webp")
 
 META_SCHEMA = T.StructType(
     [
@@ -42,19 +42,57 @@ META_SCHEMA = T.StructType(
     ]
 )
 
-
-def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """Deterministic stand-in for a real media decode: metadata derived
-    from md5(payload). Same arithmetic as the SQL oracle (h60 mod)."""
-    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
-    fmt = FORMATS[h % len(FORMATS)]
-    width = 64 + (h // 7) % 1024
-    height = 64 + (h // 11) % 1024
-    return fmt, width, height
+# JPEG frame-header (SOFn) markers that carry dimensions: C0-CF minus
+# DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
-def decode_metadata(df: DataFrame, payload_col: str = "payload", decode_stub: bool = True) -> DataFrame:
+def decode_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
+    """(format, width, height) parsed from real image bytes; totals to
+    ("unknown", None, None) on anything unparseable."""
+    try:
+        if data.startswith(b"\x89PNG\r\n\x1a\n") and len(data) >= 24:
+            # first chunk must be IHDR: length(4) type(4) then W, H (BE)
+            if data[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", data[16:24])
+                return "png", w, h
+            return "unknown", None, None
+        if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+            if len(data) >= 10:
+                w, h = struct.unpack("<HH", data[6:10])
+                return "gif", w, h
+            return "unknown", None, None
+        if data.startswith(b"\xff\xd8"):
+            i, n = 2, len(data)
+            while i + 4 <= n:
+                if data[i] != 0xFF:
+                    break
+                marker = data[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no segment body
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+                if marker in _JPEG_SOF_MARKERS:
+                    if i + 9 <= n:
+                        h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                        return "jpeg", w, h
+                    break
+                i += 2 + seg_len
+            return "unknown", None, None
+    except (struct.error, IndexError):
+        return "unknown", None, None
+    return "unknown", None, None
+
+
+def decode_metadata(
+    df: DataFrame, payload_col: str = "payload", media: str = "image"
+) -> DataFrame:
     """binary payload column -> typed metadata rows via mapInPandas."""
+    if media not in ("image", "audio", "video"):
+        raise ValueError(f"unknown media kind: {media!r}")
 
     def batches(it):
         import pandas as pd
@@ -63,13 +101,14 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload", decode_stub: bo
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
-                if decode_stub:
-                    fmt, width, height = _fake_decode(data)
+                if media == "image":
+                    fmt, width, height = decode_image_meta(data)
                 else:
-                    # real cluster path: PIL/soundfile/av decode here
+                    # real cluster path: soundfile/av decode here
                     raise NotImplementedError(
-                        "media decode requires image/audio libraries not "
-                        "present in this sandbox; run with decode_stub=True"
+                        f"{media} decode requires media libraries not "
+                        "present in this sandbox; image headers decode "
+                        "for real via media='image'"
                     )
                 rows.append((int(doc_id), len(data), fmt, width, height))
             yield pd.DataFrame(
@@ -80,24 +119,33 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload", decode_stub: bo
 
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents' text bytes treated as an opaque binary payload, pushed
-    through the decode stage. (On a real table the payload column is
-    already binary; encode() here just materializes that shape.)"""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return decode_metadata(payloads).orderBy("doc_id")
+    """Real header decode over the materialized image corpus (minimal
+    valid PNG/JPEG/GIF payloads keyed by doc_id, built once to a cache
+    parquet — input synthesis stays outside the measured query). The
+    oracle restates the synthesizer's closed-form parameters, so a
+    decoder that misreads any header field hash-mismatches."""
+    from nreadability_spark.sources.synth import materialize_images
+
+    path = materialize_images(spark, sf_dir)
+    payloads = spark.read.parquet(path)
+    return decode_metadata(payloads, media="image").orderBy("doc_id")
 
 
 def multimodal_metadata_sql() -> str:
-    # mirrors _fake_decode: md5 of the UTF-8 bytes of text
-    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
-    fmt = f"['jpeg','png','webp'][({h} % 3) + 1]"
+    # closed form of sources.synth.image_meta_for + the constant payload
+    # sizes (fixed-width fields only, so length depends on format alone)
+    from nreadability_spark.sources.synth import build_gif, build_jpeg, build_png
+
+    n_png = len(build_png(64, 64))
+    n_jpeg = len(build_jpeg(64, 64))
+    n_gif = len(build_gif(64, 64))
     return f"""
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       {fmt} AS format,
-       64 + ({h} // 7) % 1024 AS width,
-       64 + ({h} // 11) % 1024 AS height
+       CAST(CASE doc_id % 3 WHEN 0 THEN {n_png} WHEN 1 THEN {n_jpeg}
+            ELSE {n_gif} END AS BIGINT) AS n_bytes,
+       ['png','jpeg','gif'][(doc_id % 3) + 1] AS format,
+       CAST(64 + (doc_id * 7) % 1024 AS BIGINT) AS width,
+       CAST(64 + (doc_id * 11) % 1024 AS BIGINT) AS height
 FROM documents
 ORDER BY doc_id
 """

@@ -20,6 +20,10 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import os
+import shutil
+import struct
+import zlib
 from pathlib import Path
 
 from pyspark.sql import types as T
@@ -180,6 +184,179 @@ def pdf_paragraphs(text, words_per_para=24):
         " ".join(words[i : i + words_per_para])
         for i in range(0, len(words), words_per_para)
     ] or [""]
+
+
+# --- minimal real image payloads (PNG / JPEG / GIF) --------------------
+#
+# Structurally valid files with REAL headers, built from public format
+# specs with zero dependencies — the multimodal decode operator parses
+# width/height/format back out of these bytes for real (PNG IHDR, JPEG
+# SOFn, GIF logical screen descriptor). Each builder's output length is
+# CONSTANT (fixed-width fields only), so the oracle can state n_bytes in
+# closed form per format.
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def build_png(width: int, height: int) -> bytes:
+    """8-bit RGB PNG: signature + IHDR + one fixed IDAT + IEND."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 16)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """JFIF JPEG: SOI + APP0 + a single-component SOF0 frame header +
+    EOI (no entropy data — header-complete for dimension decode)."""
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)  # 8 + 3 * n_components
+        + b"\x08"
+        + struct.pack(">HH", height, width)  # SOF order: lines, samples
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def build_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor (little-endian dims) +
+    trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+_IMAGE_BUILDERS = {"png": build_png, "jpeg": build_jpeg, "gif": build_gif}
+
+
+def image_meta_for(doc_id: int) -> tuple[str, int, int]:
+    """Closed-form (format, width, height) per doc_id — the synthesis
+    parameters the decoder must recover, restated by the SQL oracle."""
+    fmt = ("png", "jpeg", "gif")[doc_id % 3]
+    width = 64 + (doc_id * 7) % 1024
+    height = 64 + (doc_id * 11) % 1024
+    return fmt, width, height
+
+
+def image_payload_for(doc_id: int) -> bytes:
+    fmt, width, height = image_meta_for(doc_id)
+    return _IMAGE_BUILDERS[fmt](width, height)
+
+
+# --- materialized synthetic corpora ------------------------------------
+#
+# Input synthesis must not sit inside measured queries (it dominated the
+# mixed-media bench entry): these helpers write each deterministic
+# corpus to a cache parquet ONCE (atomic rename; concurrent builders
+# race harmlessly) and the queries just scan it — the shape a real
+# pipeline has, where the input table already exists.
+
+_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".synthcache",
+)
+
+
+def _materialize(spark, sf_dir, fname, build_df, cache_root=None):
+    root = cache_root or _CACHE_ROOT
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(root, sf_name, fname)
+    if os.path.isdir(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    build_df().write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return path
+
+
+def materialize_images(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) image corpus for the documents at
+    ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [image_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "images.parquet", build, cache_root)
+
+
+def doc_page_shell(doc_id, text) -> str:
+    """The deterministic web-page shell around a document's text —
+    pure-Python twin of ``__spark_entry__._page_shell``'s F.concat
+    (byte-for-byte; the golden generator imports this one)."""
+    return (
+        f"<html><head><title>Document {doc_id} | Synth Corpus</title></head><body>"
+        '<div id="header"><a href="/">Home</a> <a href="/about">About</a></div>'
+        f'<div class="content"><p>{text}</p></div>'
+        '<div class="sidebar"><ul><li><a href="#">Related</a></li>'
+        '</ul></div><div id="footer">copyright</div></body></html>'
+    )
+
+
+def mixed_payload_for(doc_id: int, text: str) -> tuple[str, str]:
+    """(kind, payload): even doc_ids render as web pages, odd as
+    synthetic PDFs (every 4th Flate-compressed) — the content-type
+    dispatch corpus, shared by the Spark materializer and the golden
+    generator."""
+    if doc_id % 2 == 0:
+        return "html", doc_page_shell(doc_id, text)
+    return "pdf", build_pdf(
+        f"Document {doc_id} | Synth Corpus",
+        pdf_paragraphs(text),
+        compress_streams=(doc_id % 4 == 3),
+    )
+
+
+def materialize_mixed(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, kind, text) mixed html/pdf corpus; returns the cached
+    parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+        def gen(batches):
+            for b in batches:
+                rows = [
+                    (int(i), *mixed_payload_for(int(i), t))
+                    for i, t in zip(b["doc_id"], b["text"])
+                ]
+                yield pd.DataFrame(rows, columns=["doc_id", "kind", "text"])
+
+        return docs.mapInPandas(gen, schema="doc_id long, kind string, text string")
+
+    return _materialize(spark, sf_dir, "mixed.parquet", build, cache_root)
 
 
 def _turn_count(conv_idx, long_every=97, short_min=2, short_max=12, long_factor=50):

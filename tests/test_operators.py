@@ -153,15 +153,33 @@ def test_ivf_is_subset_of_brute_force_space(spark):
         assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
 
 
-def test_multimodal_real_decode_is_gated(spark):
+def test_multimodal_audio_video_decode_is_gated(spark):
+    """Image headers decode for real; audio/video decode stays gated at
+    the exact call site a real cluster would run the media libraries."""
     from nreadability_spark.operators import multimodal
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    df = multimodal.decode_metadata(payloads, decode_stub=False)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    df = multimodal.decode_metadata(payloads, media="audio")
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
         df.collect()
+
+
+def test_image_header_decode_is_real():
+    """The decoder must parse dimensions from actual bytes — including
+    payloads with parameters the synthesis formula never produces — and
+    be total on garbage."""
+    from nreadability_spark.operators.multimodal import decode_image_meta
+    from nreadability_spark.sources import synth
+
+    assert decode_image_meta(synth.build_png(12345, 999)) == ("png", 12345, 999)
+    assert decode_image_meta(synth.build_jpeg(2047, 13)) == ("jpeg", 2047, 13)
+    assert decode_image_meta(synth.build_gif(1, 65535)) == ("gif", 1, 65535)
+    for junk in (b"", b"\x89PNG\r\n\x1a\n short", b"GIF89a", b"\xff\xd8\xff\xd9",
+                 b"plain text bytes", b"\x00" * 64):
+        fmt, w, h = decode_image_meta(junk)
+        assert fmt == "unknown" and w is None and h is None
 
 
 def test_lang_id_predicts_only_known_labels(spark):

@@ -54,14 +54,12 @@ def _read_documents(sf_dir):
 
 
 def _doc_page_shell(doc_id, text):
-    """Exact replica of __spark_entry__._extract_doc_pages's F.concat."""
-    return (
-        f"<html><head><title>Document {doc_id} | Synth Corpus</title></head><body>"
-        '<div id="header"><a href="/">Home</a> <a href="/about">About</a></div>'
-        f'<div class="content"><p>{text}</p></div>'
-        '<div class="sidebar"><ul><li><a href="#">Related</a></li>'
-        '</ul></div><div id="footer">copyright</div></body></html>'
-    )
+    """Pure-Python twin of __spark_entry__._extract_doc_pages's F.concat
+    (single-sourced in synth; byte parity with the Spark concat is
+    checked by the extract_doc_pages CORRECTNESS row itself)."""
+    from nreadability_spark.sources.synth import doc_page_shell
+
+    return doc_page_shell(doc_id, text)
 
 
 def _extract_row(args):
@@ -103,15 +101,9 @@ def golden_doc_pages(pool, docs, out_dir):
 # --- mixed media (html + pdf dispatch) ---------------------------------
 
 def _mixed_payload(doc_id, text):
-    from nreadability_spark.sources.synth import build_pdf, pdf_paragraphs
+    from nreadability_spark.sources.synth import mixed_payload_for
 
-    if doc_id % 2 == 0:
-        return "html", _doc_page_shell(doc_id, text)
-    return "pdf", build_pdf(
-        f"Document {doc_id} | Synth Corpus",
-        pdf_paragraphs(text),
-        compress_streams=(doc_id % 4 == 3),
-    )
+    return mixed_payload_for(doc_id, text)
 
 
 def _mixed_row(args):
