@@ -166,12 +166,12 @@ def knn_ivf(
     )
 
 
-def knn_ivf_sql(k: int = IVF_TOP_K) -> str:
+def _knn_ivf_body_sql(k: int = IVF_TOP_K) -> str:
+    """The search CTE chain, assuming ``base`` (vec_id, emb) and
+    ``cents`` (cent_id, emb) are already defined by the caller."""
     ccos = _cosine_sql("e.emb", "c.emb")
     qcos = _cosine_sql("e.emb", "q.emb")
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, emb FROM base WHERE vec_id < {IVF_CENTROIDS}),
 scored AS (
   SELECT e.vec_id, c.cent_id, {ccos} AS ccos
   FROM base e, cents c
@@ -206,6 +206,15 @@ ranked AS (
 SELECT rank, vec_id, cell, round(cos, 6) AS cos_sim FROM ranked
 WHERE rank <= {k} ORDER BY rank
 """
+
+
+def knn_ivf_sql(k: int = IVF_TOP_K) -> str:
+    """Pinned-centroid variant (closed-form cents CTE)."""
+    return (
+        f"WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),\n"
+        f"cents AS (SELECT vec_id AS cent_id, emb FROM base WHERE vec_id < {IVF_CENTROIDS}),\n"
+        + _knn_ivf_body_sql(k)
+    )
 
 
 # --- coarse-centroid fit (the "separate Spark job" feeding IVF) --------
@@ -315,23 +324,47 @@ c{idx} AS (
 )"""
 
 
-def centroid_fit_sql(k: int = IVF_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_cte_chain(k: int = IVF_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+    """``base`` + the unrolled Lloyd CTEs ending at ``c{iters}``
+    (cent_id, c) — shared by the fit oracle and the fitted-IVF oracle."""
     parts = [
-        f"WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),",
+        f"base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),",
         f"c0 AS (SELECT vec_id AS cent_id, emb AS c FROM base WHERE vec_id < {k})",
     ]
     for i in range(1, iters + 1):
         parts.append("," + _kmeans_iter_sql(f"c{i - 1}", i))
-    parts.append(
-        f"""
+    return "\n".join(parts)
+
+
+def centroid_fit_sql(k: int = IVF_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+    return f"""WITH {_kmeans_cte_chain(k, iters)}
 SELECT CAST(cent_id AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim, centroid
 FROM (
   SELECT cent_id, unnest(range(1, {DIM + 1})) AS dim, unnest(c) AS centroid
   FROM c{iters}
 ) t ORDER BY cell, dim
 """
+
+
+def knn_ivf_fitted(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFrame:
+    """The production IVF wiring, composed end-to-end: distributed
+    k-means fit -> inverted-file build -> nprobe search — the DEFAULT
+    ``sim_knn_ivf`` path (the pinned-centroid variant stays as
+    ``sim_knn_ivf_pinned`` for the closed-form fixture). Oracle: the
+    unrolled Lloyd CTE chain extended through the same search CTEs —
+    exact, because each iteration's centroids are rounded to 6 decimals
+    as part of the algorithm (engine-independent doubles)."""
+    return knn_ivf(spark, sf_dir, k=k, centroids=fit_centroids(spark, sf_dir))
+
+
+def knn_ivf_fitted_sql(
+    k: int = IVF_TOP_K, c: int = IVF_CENTROIDS, iters: int = KMEANS_ITERS
+) -> str:
+    return (
+        f"WITH {_kmeans_cte_chain(c, iters)},\n"
+        f"cents AS (SELECT cent_id, c AS emb FROM c{iters}),\n"
+        + _knn_ivf_body_sql(k)
     )
-    return "\n".join(parts)
 
 
 # production near-dup threshold is ~0.95; the synthetic embeddings are
@@ -570,7 +603,8 @@ ORDER BY vec_id
 
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
-    "sim_knn_ivf": knn_ivf,
+    "sim_knn_ivf": knn_ivf_fitted,
+    "sim_knn_ivf_pinned": knn_ivf,
     "sim_centroid_fit": centroid_fit,
     "sim_quantize_int8": quantize_int8,
     "dedup_embedding_cosine": embedding_near_dups,
@@ -578,7 +612,8 @@ QUERIES = {
 
 ORACLES = {
     "sim_knn_brute_force": knn_brute_force_sql(),
-    "sim_knn_ivf": knn_ivf_sql(),
+    "sim_knn_ivf": knn_ivf_fitted_sql(),
+    "sim_knn_ivf_pinned": knn_ivf_sql(),
     "sim_centroid_fit": centroid_fit_sql(),
     "sim_quantize_int8": quantize_int8_sql(),
     "dedup_embedding_cosine": embedding_near_dups_sql(),

@@ -14,23 +14,37 @@ pushes the heavy work map-side).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nreadability_spark.functions import hashing
 from nreadability_spark.functions import text as tx
 
-# fixed marker lists for the language-ID heuristic. The synthetic corpus
-# is an English word-soup, so real-language markers barely fire — the
-# point is the *operator* (deterministic scoring + argmax), which at
-# scale would load per-language n-gram tables the same way.
-LANG_MARKERS = {
-    "en": ("the", "a", "of", "and", "value", "fast"),
-    "de": ("der", "die", "und", "nicht", "ein"),
-    "fr": ("le", "la", "et", "les", "des"),
-    "es": ("el", "los", "las", "una", "por"),
-    "zh": ("de5", "shi4", "le5"),
-}
+# (lang, token, weight) marker-model table for language ID — the 100 TB
+# shape: the model is DATA (a broadcast table the corpus scan joins
+# against), not code, so swapping in a real stopword-frequency model
+# changes no plan. Rows are public high-frequency stopwords; weights
+# favor language-distinctive forms; ambiguous tokens (fr/es "que")
+# simply appear under both languages. The synthetic corpus is an
+# English word-soup, so non-English rows barely fire — the operator
+# (broadcast join + weighted scoring + deterministic argmax) is the
+# point.
+LANG_MARKER_TABLE = (
+    ("en", "the", 3), ("en", "and", 2), ("en", "of", 2), ("en", "to", 1),
+    ("en", "in", 1), ("en", "is", 1), ("en", "that", 1), ("en", "for", 1),
+    ("en", "with", 1), ("en", "a", 1), ("en", "value", 1), ("en", "fast", 1),
+    ("de", "der", 3), ("de", "die", 3), ("de", "und", 3), ("de", "nicht", 2),
+    ("de", "ein", 2), ("de", "ist", 2), ("de", "ich", 2), ("de", "das", 2),
+    ("de", "sich", 2), ("de", "mit", 1),
+    ("fr", "le", 3), ("fr", "les", 3), ("fr", "la", 2), ("fr", "et", 2),
+    ("fr", "des", 2), ("fr", "est", 2), ("fr", "une", 2), ("fr", "dans", 2),
+    ("fr", "pour", 1), ("fr", "que", 1),
+    ("es", "el", 3), ("es", "los", 3), ("es", "las", 3), ("es", "una", 2),
+    ("es", "por", 2), ("es", "con", 2), ("es", "para", 2), ("es", "del", 2),
+    ("es", "es", 1), ("es", "que", 1),
+    ("zh", "de5", 3), ("zh", "shi4", 3), ("zh", "le5", 3), ("zh", "bu4", 2),
+    ("zh", "wo3", 2),
+)
 LANG_ORDER = ("en", "de", "fr", "es", "zh")  # deterministic tie-break
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -154,18 +168,38 @@ QUALITY_SQL = _quality_sql()
 # --- language identification ------------------------------------------
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID as a broadcast model-table join: explode tokens, hit
+    the (lang, token, weight) marker table, sum weighted hits per
+    (doc, lang), argmax with the LANG_ORDER tie-break; no-hit documents
+    predict 'unknown'. Scale shape: the model table is tiny and
+    broadcast, the corpus side is one map-side explode + one hash agg
+    keyed by doc_id — no corpus shuffle beyond the per-doc partial
+    aggregation."""
     docs = load_documents(spark, sf_dir)
-    toks = tx.tokens(F.col("text"))
-    out = docs.select("doc_id", "lang", toks.alias("toks"))
-    def _marker_hits(markers):
-        # single-arg lambda (a 2-arg lambda would be read as (elem, idx))
-        return lambda t: t.isin(*markers)
-
-    for lang in LANG_ORDER:
-        out = out.withColumn(
-            f"score_{lang}",
-            F.size(F.filter(F.col("toks"), _marker_hits(LANG_MARKERS[lang]))).cast("long"),
+    markers = spark.createDataFrame(
+        list(LANG_MARKER_TABLE), "mlang: string, tok: string, weight: long"
+    )
+    tok = tx.exploded_tokens(docs)
+    scores = (
+        tok.join(F.broadcast(markers), "tok")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("mlang") == lg, F.col("weight")).otherwise(0)).alias(
+                    f"score_{lg}"
+                )
+                for lg in LANG_ORDER
+            ]
         )
+    )
+    out = docs.select("doc_id", "lang").join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[
+            F.coalesce(F.col(f"score_{lg}"), F.lit(0)).cast("long").alias(f"score_{lg}")
+            for lg in LANG_ORDER
+        ],
+    )
     best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_ORDER])
     pred = F.lit("unknown")
     # first language (in LANG_ORDER) achieving the max wins; build the
@@ -176,7 +210,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("pred_lang", pred)
         .select(
             "doc_id",
-            F.col("lang").alias("label_lang"),
+            "label_lang",
             "pred_lang",
             *[f"score_{lg}" for lg in LANG_ORDER],
         )
@@ -185,26 +219,32 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id_sql() -> str:
-    score_cols = []
-    for lang in LANG_ORDER:
-        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-        score_cols.append(
-            f"CAST(len(list_filter(toks, t -> t IN ({markers}))) AS BIGINT) AS score_{lang}"
-        )
-    best = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_ORDER) + ")"
+    values = ", ".join(f"('{lg}', '{t}', {w})" for lg, t, w in LANG_MARKER_TABLE)
+    score_cols = ",\n         ".join(
+        f"sum(CASE WHEN mlang = '{lg}' THEN weight ELSE 0 END) AS score_{lg}"
+        for lg in LANG_ORDER
+    )
+    coalesced = ",\n       ".join(
+        f"CAST(coalesce(s.score_{lg}, 0) AS BIGINT) AS score_{lg}" for lg in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"coalesce(s.score_{lg}, 0)" for lg in LANG_ORDER) + ")"
     case = "CASE " + " ".join(
-        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in LANG_ORDER
+        f"WHEN coalesce(s.score_{lg}, 0) = {best} AND {best} > 0 THEN '{lg}'"
+        for lg in LANG_ORDER
     ) + " ELSE 'unknown' END"
-    scores = ",\n         ".join(score_cols)
-    score_list = ", ".join(f"score_{lg}" for lg in LANG_ORDER)
+    toks = tx.exploded_tokens_sql("documents")
     return f"""
-WITH scored AS (
-  SELECT doc_id, lang AS label_lang, {scores}
-  FROM (SELECT doc_id, lang, {tx.tokens_sql('text')} AS toks FROM documents) t
+WITH markers(mlang, tok, weight) AS (VALUES {values}),
+toks AS ({toks}),
+scores AS (
+  SELECT t.doc_id, {score_cols}
+  FROM toks t JOIN markers m ON t.tok = m.tok
+  GROUP BY t.doc_id
 )
-SELECT doc_id, label_lang, {case} AS pred_lang, {score_list}
-FROM scored
-ORDER BY doc_id
+SELECT d.doc_id, d.lang AS label_lang, {case} AS pred_lang,
+       {coalesced}
+FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -243,6 +283,107 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """
+
+# --- bottom-k sketch + containment estimation --------------------------
+
+K_BOTTOM = 8  # sketch slots; fingerprints' bottom_shingle_hash is k=1
+
+
+def bottomk_sketches(docs: DataFrame, n: int = 3, k: int = K_BOTTOM) -> DataFrame:
+    """(doc_id, sketch): the k smallest distinct shingle hashes per
+    document — the bottom-k generalization of ``fingerprints``' 1-slot
+    sketch. Built with a bounded per-key window (row_number <= k), not
+    a full per-doc set collect, so executor memory per document is k
+    longs regardless of document size."""
+    sh = tx.hashed_shingles(docs, n=n)
+    w = Window.partitionBy("doc_id").orderBy("sh60")
+    return (
+        sh.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("sh60")).alias("sketch"))
+    )
+
+
+def bottomk_containment(
+    spark: SparkSession, sf_dir: str, n: int = 3, k: int = K_BOTTOM
+) -> DataFrame:
+    """Containment/Jaccard ESTIMATES from bottom-k sketches, for the
+    candidate pairs that share their bottom-1 hash (the fingerprint
+    bucket — the natural blocking key, since near-containing documents
+    almost surely share their minimum shingle hash).
+
+    Estimator (classic bottom-k): let U = bottom-k of (A ∪ B), computable
+    exactly from the two sketches because bottomk(A∪B) ⊆ bottomk(A) ∪
+    bottomk(B); then J(A,B) ≈ |U ∩ A ∩ B| / |U| and C(A,B) = |A∩B|/|A|
+    ≈ |U ∩ A ∩ B| / |U ∩ A|. Pure arithmetic over the sketch arrays —
+    deterministic, so the oracle twin matches exactly. At 100 TB the
+    sketch table is the only thing shuffled (k longs per doc, corpus
+    never re-scanned for estimation)."""
+    docs = load_documents(spark, sf_dir)
+    sk = bottomk_sketches(docs, n=n, k=k)
+    a = sk.select(F.col("doc_id").alias("doc_a"), F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col("doc_id").alias("doc_b"), F.col("sketch").alias("sk_b"))
+    pairs = a.join(
+        b,
+        (F.element_at("sk_a", 1) == F.element_at("sk_b", 1))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    union_k = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    calc = pairs.select(
+        "doc_a",
+        "doc_b",
+        union_k.alias("uk"),
+        F.array_intersect("sk_a", "sk_b").alias("inter_sk"),
+        "sk_a",
+    )
+    n_uk = F.size("uk").cast("long")
+    n_shared = F.size(F.array_intersect("uk", "inter_sk")).cast("long")
+    n_in_a = F.size(F.array_intersect("uk", "sk_a")).cast("long")
+    return (
+        calc.select(
+            "doc_a",
+            "doc_b",
+            n_uk.alias("n_union_k"),
+            n_shared.alias("n_shared"),
+            F.round(n_shared / F.greatest(n_uk, F.lit(1)), 4).alias("est_jaccard"),
+            F.round(n_shared / F.greatest(n_in_a, F.lit(1)), 4).alias("est_containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def bottomk_containment_sql(n: int = 3, k: int = K_BOTTOM) -> str:
+    return f"""
+WITH sh AS ({tx.hashed_shingles_sql('documents', n)}),
+ranked AS (
+  SELECT doc_id, sh60, row_number() OVER (PARTITION BY doc_id ORDER BY sh60) AS r
+  FROM sh
+),
+sk AS (
+  SELECT doc_id, list(sh60 ORDER BY sh60) AS sketch
+  FROM ranked WHERE r <= {k} GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sketch AS sk_a, b.sketch AS sk_b
+  FROM sk a JOIN sk b ON a.sketch[1] = b.sketch[1] AND a.doc_id < b.doc_id
+),
+calc AS (
+  SELECT doc_a, doc_b,
+         list_sort(list_distinct(sk_a || sk_b))[1:{k}] AS uk,
+         list_intersect(sk_a, sk_b) AS inter_sk, sk_a
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       CAST(len(uk) AS BIGINT) AS n_union_k,
+       CAST(len(list_intersect(uk, inter_sk)) AS BIGINT) AS n_shared,
+       round(len(list_intersect(uk, inter_sk)) / greatest(len(uk), 1), 4) AS est_jaccard,
+       round(len(list_intersect(uk, inter_sk)) / greatest(len(list_intersect(uk, sk_a)), 1), 4)
+         AS est_containment
+FROM calc
+ORDER BY doc_a, doc_b
+"""
+
 
 # --- benchmark decontamination -----------------------------------------
 
@@ -453,6 +594,7 @@ QUERIES = {
     "text_quality_scores": quality_scores,
     "text_lang_id": lang_id,
     "text_fingerprints": fingerprints,
+    "text_bottomk_containment": bottomk_containment,
     "text_decontaminate": decontaminate,
     "text_train_val_split": train_val_split,
     "text_repetition": repetition_scores,
@@ -464,6 +606,7 @@ ORACLES = {
     "text_quality_scores": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,
+    "text_bottomk_containment": bottomk_containment_sql(),
     "text_decontaminate": decontaminate_sql(),
     "text_train_val_split": train_val_split_sql(),
     "text_repetition": repetition_scores_sql(),

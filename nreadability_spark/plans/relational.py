@@ -539,6 +539,59 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- approximate quantiles (the documented 100 TB swap, shipped) -------
+
+APPROX_QUANTILE_ACC = 100  # rank error bound: 1/accuracy of the group size
+
+
+def order_price_quantiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = APPROX_QUANTILE_ACC
+) -> DataFrame:
+    """``approx_percentile`` (mergeable sketch — map-side partials, no
+    per-group full sort) with its rank-error guarantee ASSERTED against
+    the exact data: for each group and each q, the estimate's true rank
+    interval [count(<est)+1, count(<=est)] must intersect
+    [(q - 1/acc) * n, (q + 1/acc) * n]. The output is the per-group
+    pass/fail flags, not the estimates — the estimate itself depends on
+    sketch merge order (legitimately non-deterministic across
+    partitionings), so the oracle pins the *guarantee*, which must hold
+    everywhere (all-1s). This is the swap ``rel_price_quantiles``'s
+    docstring promises at 100 TB, where exact percentiles force a
+    per-group sort of the full column."""
+    od = _t(spark, sf_dir, "orders")
+    qs = ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+    est = od.groupBy("o_orderpriority").agg(
+        *[
+            F.expr(f"approx_percentile(o_totalprice, {q}, {accuracy})").alias(f"est_{n}")
+            for q, n in qs
+        ]
+    )
+    joined = od.join(F.broadcast(est), "o_orderpriority")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for _q, n in qs:
+        aggs.append(
+            F.sum((F.col("o_totalprice") < F.col(f"est_{n}")).cast("long")).alias(f"lt_{n}")
+        )
+        aggs.append(
+            F.sum((F.col("o_totalprice") <= F.col(f"est_{n}")).cast("long")).alias(f"le_{n}")
+        )
+    ranks = joined.groupBy("o_orderpriority").agg(*aggs)
+    err = 1.0 / accuracy
+    checks = []
+    for q, n in qs:
+        lo_ok = F.col(f"le_{n}") >= F.floor((F.lit(q) - F.lit(err)) * F.col("n"))
+        hi_ok = (F.col(f"lt_{n}") + 1) <= F.ceil((F.lit(q) + F.lit(err)) * F.col("n"))
+        checks.append((lo_ok & hi_ok).cast("int").alias(f"ok_{n}"))
+    return ranks.select("o_orderpriority", *checks).orderBy("o_orderpriority")
+
+
+ORDER_PRICE_QUANTILES_APPROX_SQL = """
+SELECT o_orderpriority,
+       CAST(1 AS INT) AS ok_p25, CAST(1 AS INT) AS ok_p50, CAST(1 AS INT) AS ok_p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --- JSON scalar functions over event props ----------------------------
 
 def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +644,7 @@ QUERIES = {
     "rel_big_spenders": big_spenders,
     "rel_returnflag_pivot": returnflag_pivot,
     "rel_price_quantiles": order_price_quantiles,
+    "rel_price_quantiles_approx": order_price_quantiles_approx,
     "rel_event_props_json": event_props_json,
 }
 
@@ -610,5 +664,6 @@ ORACLES = {
     "rel_big_spenders": BIG_SPENDERS_SQL,
     "rel_returnflag_pivot": RETURNFLAG_PIVOT_SQL,
     "rel_price_quantiles": ORDER_PRICE_QUANTILES_SQL,
+    "rel_price_quantiles_approx": ORDER_PRICE_QUANTILES_APPROX_SQL,
     "rel_event_props_json": EVENT_PROPS_JSON_SQL,
 }

@@ -627,3 +627,59 @@ def test_quantize_int8_zero_vector_parity(spark, tmp_path):
     zero = similarity.quantize_int8(spark, str(tmp_path)).where("vec_id = 0").collect()[0]
     assert (zero["scale"], zero["mse"], zero["q_max"], zero["q_min"]) == (0.0, 0.0, 0, 0)
     con.close()
+
+
+def test_bottomk_containment_detects_subset(spark, tmp_path):
+    """A document wholly contained in another must estimate containment
+    1.0 from the sketches alone (every union-k element of the subset is
+    shared)."""
+    from nreadability_spark.operators import textops
+
+    small = " ".join(f"w{j}" for j in range(15))
+    big = small + " " + " ".join(f"extra{j}" for j in range(30))
+    texts = [small, big, "totally unrelated other document words here now today"]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in
+            textops.bottomk_containment(spark, str(tmp_path)).collect()}
+    assert (0, 1) in rows  # subset shares its minimum shingle hash
+    assert rows[(0, 1)]["est_containment"] == 1.0
+    assert rows[(0, 1)]["est_jaccard"] < 1.0
+    assert (0, 2) not in rows and (1, 2) not in rows
+
+
+def test_lang_id_table_scores_weighted_markers(spark, tmp_path):
+    """The broadcast marker-table scorer must pick the language with
+    the highest weighted hit sum, not just any hit."""
+    from nreadability_spark.operators import textops
+
+    texts = [
+        "der die und nicht ein ist ich das words",   # German markers
+        "le les la et des est une dans pour text",   # French markers
+        "the of and to in is that for with filler",  # English markers
+        "zzz qqq vvv kkk mmm",                        # no markers at all
+    ]
+    _write_docs_lang(spark, str(tmp_path), texts)
+    rows = {r["doc_id"]: r for r in textops.lang_id(spark, str(tmp_path)).collect()}
+    assert rows[0]["pred_lang"] == "de"
+    assert rows[1]["pred_lang"] == "fr"
+    assert rows[2]["pred_lang"] == "en"
+    assert rows[3]["pred_lang"] == "unknown"
+    assert rows[0]["score_de"] > rows[0]["score_en"]
+
+
+def _write_docs_lang(spark, path, texts):
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id: long, text: string, lang: string",
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+
+
+def test_approx_quantiles_within_rank_bound(spark):
+    """Every group's approx-percentile estimate must satisfy the
+    sketch's published rank-error guarantee against the exact data."""
+    from nreadability_spark.plans import relational
+
+    rows = relational.order_price_quantiles_approx(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r["ok_p25"], r["ok_p50"], r["ok_p90"]) == (1, 1, 1)
