@@ -250,6 +250,20 @@ parallelism levels in separate JVMs via `spark-submit --py-files`:
 
 **Headline: N=4 -> 4N=16 efficiency {effs.get('4->16', 'n/a')}** (target >= 0.8).
 
+## One headline, two protocols
+
+Two extraction-throughput numbers exist in this repo; they differ by
+measurement protocol, not engine state:
+
+| protocol | where recorded | what it measures | turns/sec |
+|---|---|---|---|
+| A: spark-submit, pre-salted input, warmed, steady-state best-of-3 | this file | long-running job throughput (the deployment shape: `spark-submit --py-files` over a staged input table) | **{tps32}** at local[32] |
+| B: fresh session, in-job salting shuffle, warmed workers, best-of-2 | `bench.py` -> `BENCH_r*.json` `extract_turns_per_sec` | self-contained per-round regression tracker (pays the salting repartition + fresh-JVM state) | see latest BENCH json |
+
+**The repo headline is protocol A at local[32]: {tps32} turns/sec.**
+Protocol B reads ~25-30% lower by construction; compare B only against
+earlier B values (round-over-round), never against A.
+
 ## Why 8->32 reads lower on one box: the two-JVM control
 
 Discriminating experiment. If the 8->32 shortfall were the ENGINE's

@@ -487,6 +487,63 @@ class Document(_Container):
         return self.inner_html()
 
 
+# --- pretty (indented) serialization -----------------------------------
+
+
+def _pretty_node(node, depth, in_mixed):
+    """Serialization tokens for one element (iterative caller)."""
+    open_tag = "<" + node.name + "".join(
+        f' {k}="{escape_attr(v)}"' for k, v in node.attrs.items()
+    )
+    if not node.children:
+        return [open_tag + " />"]
+    tokens = [open_tag + ">"]
+    mixed = in_mixed
+    for child in node.children:
+        if isinstance(child, Element):
+            if not mixed:
+                tokens.append("\n" + "  " * (depth + 1))
+            tokens.append(("node", child, depth + 1, mixed))
+        elif isinstance(child, Text):
+            mixed = True
+            tokens.append(child.to_html())
+        else:  # Comment
+            if not mixed:
+                tokens.append("\n" + "  " * (depth + 1))
+            tokens.append(child.to_html())
+    if not mixed:
+        tokens.append("\n" + "  " * depth)
+    tokens.append(f"</{node.name}>")
+    return tokens
+
+
+def to_pretty_html(document):
+    """XLinq-style indented serialization (``XDocument.ToString(
+    SaveOptions.None)`` shape, SgmlDomSerializer.cs:70): two-space
+    indentation, one element per line, and — the XmlWriter mixed-content
+    rule — once a text node is written inside an element, indentation is
+    suppressed for the remainder of that element's subtree and resumes
+    after its end tag. Divergence from .NET: lines end with "\\n", not
+    XmlWriterSettings' default "\\r\\n". Iterative (explicit stack):
+    hostile rows nest thousands deep."""
+    out = []
+    top = []
+    for i, child in enumerate(document.children):
+        if i:
+            top.append("\n")
+        top.append(("node", child, 0, False) if isinstance(child, Element) else child.to_html())
+    stack = list(reversed(top))
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            out.append(item)
+            continue
+        _tag, node, depth, in_mixed = item
+        for t in reversed(_pretty_node(node, depth, in_mixed)):
+            stack.append(t)
+    return "".join(out)
+
+
 def _shallow_clone(node):
     if isinstance(node, Text):
         return Text(node.value)

@@ -37,6 +37,7 @@ from nreadability_spark.core.dom import (
     Text,
     build_document,
     parse_preserves,
+    to_pretty_html,
     traverse_child_nodes,
     traverse_elements,
 )
@@ -1010,8 +1011,9 @@ def _try_parse_int(s):
 
 def serialize_document(document, params=None):
     """SgmlDomSerializer.cs:40-78: meta injection + DOCTYPE prefix.
-    Output is DisableFormatting-style (pretty_print accepted, ignored —
-    documented divergence; the reference default is also non-pretty)."""
+    ``pretty_print`` selects XLinq-style indented output
+    (``SaveOptions.None``, SgmlDomSerializer.cs:70 — see
+    ``dom.to_pretty_html``); default is DisableFormatting-style raw."""
     params = params or SerializationOptions()
 
     if not (
@@ -1032,7 +1034,7 @@ def serialize_document(document, params=None):
             root.add_first(head)
         _process_meta_elements(head, params)
 
-    result = document.to_html()
+    result = to_pretty_html(document) if params.pretty_print else document.to_html()
 
     if not params.dont_include_doctype:
         result = DOCTYPE + result

@@ -172,9 +172,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (lang, token, weight) marker table, sum weighted hits per
     (doc, lang), argmax with the LANG_ORDER tie-break; no-hit documents
     predict 'unknown'. Scale shape: the model table is tiny and
-    broadcast, the corpus side is one map-side explode + one hash agg
-    keyed by doc_id — no corpus shuffle beyond the per-doc partial
-    aggregation."""
+    broadcast; the corpus side is one map-side explode + one hash agg
+    keyed by doc_id, then the scores re-join the documents table on
+    doc_id — column pruning makes that shuffle carry only
+    (doc_id, lang), never the text."""
     docs = load_documents(spark, sf_dir)
     markers = spark.createDataFrame(
         list(LANG_MARKER_TABLE), "mlang: string, tok: string, weight: long"

@@ -218,3 +218,63 @@ def test_set_inner_html_plain_text_fast_path_matches_parse():
                 slow.children.append(node)
         assert fast.to_html() == slow.to_html(), repr(s)
         assert all(isinstance(c, Text) for c in fast.children)
+
+
+def test_pretty_serialization_xlinq_shape():
+    """pretty_print output follows the XLinq/XmlWriter shape
+    (SgmlDomSerializer.cs:70, SaveOptions.None): 2-space indentation,
+    one element per line, text-only elements inline, and indentation
+    suppressed for the rest of an element once mixed content starts."""
+    from nreadability_spark.core.dom import build_document, to_pretty_html
+
+    d = build_document(
+        "<html><head><title>T</title></head>"
+        "<body><p>text</p><div><p>a</p><p>b</p></div><!--c--></body></html>"
+    )
+    assert to_pretty_html(d) == (
+        "<html>\n"
+        "  <head>\n"
+        "    <title>T</title>\n"
+        "  </head>\n"
+        "  <body>\n"
+        "    <p>text</p>\n"
+        "    <div>\n"
+        "      <p>a</p>\n"
+        "      <p>b</p>\n"
+        "    </div>\n"
+        "    <!--c-->\n"
+        "  </body>\n"
+        "</html>"
+    )
+    # mixed content: once text is written, indentation stops until the
+    # element closes (leading text inlines the whole element; trailing
+    # text glues the end tag)
+    assert to_pretty_html(build_document("<div>x<p>y</p></div>")).endswith(
+        "<div>x<p>y</p></div>\n</html>"
+    )
+    assert to_pretty_html(build_document("<div><p>y</p>tail</div>")).endswith(
+        "<div>\n    <p>y</p>tail</div>\n</html>"
+    )
+
+
+def test_serialize_document_honors_pretty_print():
+    from nreadability_spark.core.dom import build_document
+    from nreadability_spark.core.transcoder import (
+        SerializationOptions,
+        serialize_document,
+    )
+
+    d = build_document("<html><head></head><body><div><p>a</p></div></body></html>")
+    flags = dict(
+        dont_include_content_type_meta=True,
+        dont_include_mobile_meta=True,
+        dont_include_generator_meta=True,
+        dont_include_doctype=True,
+    )
+    raw = serialize_document(d, SerializationOptions(pretty_print=False, **flags))
+    pretty = serialize_document(d, SerializationOptions(pretty_print=True, **flags))
+    assert "\n" not in raw
+    assert "\n  <body>" in pretty
+    # both serializations parse back to the same raw form (indentation
+    # whitespace between elements is dropped by the parser)
+    assert build_document(pretty).to_html() == raw

@@ -619,7 +619,7 @@ def test_quantize_int8_zero_vector_parity(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/embeddings.parquet")
     con = _duckdb.connect()
     con.sql(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
     )
     assert_matches_oracle(
         similarity.quantize_int8(spark, str(tmp_path)), similarity.quantize_int8_sql(), con
