@@ -55,7 +55,13 @@ def _dot(a, b):
 
 
 def _cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # zero guard: an all-zero vector gives 0/0, where Spark yields NaN
+    # (sorts FIRST under ORDER BY DESC) but DuckDB yields NULL (sorts
+    # last) — greatest(denominator, tiny) makes the cosine an exact 0.0
+    # on both engines and is bit-identical for any nonzero vector
+    return _dot(a, b) / F.greatest(
+        F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)), F.lit(1e-300)
+    )
 
 
 def _dvec(col):
@@ -68,7 +74,10 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _cosine_sql(a: str, b: str) -> str:
-    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"greatest(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}), 1e-300))"
+    )
 
 
 def knn_brute_force(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -403,7 +412,10 @@ def _assigned_vectors(spark: SparkSession, sf_dir: str):
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "e", "n", "cent_id",
-        (_dot(F.col("e"), F.col("c")) / (F.col("n") * F.col("cn"))).alias("ccos"),
+        (
+            _dot(F.col("e"), F.col("c"))
+            / F.greatest(F.col("n") * F.col("cn"), F.lit(1e-300))
+        ).alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     assigned = (
@@ -421,7 +433,9 @@ def _pair_cols(threshold):
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").cast("long").alias("cell"),
             F.round(
-                _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")), 6
+                _dot(F.col("a.e"), F.col("b.e"))
+                / F.greatest(F.col("a.n") * F.col("b.n"), F.lit(1e-300)),
+                6,
             ).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
     )

@@ -683,3 +683,35 @@ def test_approx_quantiles_within_rank_bound(spark):
     assert rows
     for r in rows:
         assert (r["ok_p25"], r["ok_p50"], r["ok_p90"]) == (1, 1, 1)
+
+
+def test_knn_zero_vector_parity(spark, tmp_path):
+    """A zero embedding in the corpus must not corrupt top-k parity:
+    unguarded 0/0 cosine is NaN in Spark (sorts FIRST desc) but NULL in
+    DuckDB (sorts last); the guarded cosine makes it exactly 0.0 on
+    both engines."""
+    import duckdb as _duckdb
+
+    from nreadability_spark.operators import similarity
+
+    rows = [(0, [1.0] + [0.0] * (similarity.DIM - 1)),
+            (1, [0.0] * similarity.DIM)] + [
+        (i, [((i * 13 + j * 7) % 19 - 9) / 9.0 for j in range(similarity.DIM)])
+        for i in range(2, 12)
+    ]
+    spark.createDataFrame(rows, "vec_id: long, embedding: array<float>").coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    assert_matches_oracle(
+        similarity.knn_brute_force(spark, str(tmp_path)),
+        similarity.knn_brute_force_sql(),
+        con,
+    )
+    got = {r["vec_id"]: r["cos_sim"] for r in
+           similarity.knn_brute_force(spark, str(tmp_path)).collect()}
+    assert got[1] == 0.0  # the zero vector scores an exact 0, not NaN
+    con.close()
