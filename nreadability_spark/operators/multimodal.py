@@ -13,8 +13,8 @@ metadata extraction — with a REAL stdlib image-header decoder:
 - ``media="audio"`` / ``media="video"``: raises ``NotImplementedError``
   at the exact call site where ``soundfile.read`` / an ``av`` container
   parser would run on a real cluster (no audio/video libraries in this
-  sandbox). Frame SAMPLING keeps a deterministic md5-derived stub so
-  the distributed plumbing (explode shape, schema) stays testable.
+  sandbox). Frame SAMPLING is real for GIF (multi-frame container,
+  block-structure walk in ``gif_frame_info``); mp4/mkv stay gated.
 
 The batch iterator shape (``Iterator[pd.DataFrame] ->
 Iterator[pd.DataFrame]``) is the real production signature: one Arrow
@@ -25,7 +25,6 @@ large — same tuning as the HTML extraction UDF).
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
@@ -156,64 +155,121 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("byte_offset", T.LongType()),
+        T.StructField("delay_cs", T.LongType()),
     ]
 )
 
 
-def _fake_frame_offsets(payload: bytes) -> list[int]:
-    """Deterministic stand-in for video frame sampling: k sample
-    offsets derived from md5(payload), clamped into the payload."""
-    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
-    n_bytes = max(len(payload), 1)
-    n_frames = 1 + h % 4
-    return [((h // (k + 1)) % n_bytes) for k in range(n_frames)]
+def gif_frame_info(data: bytes) -> list[tuple[int, int, int]]:
+    """Real GIF frame sampling: walk the container's block structure
+    (extensions, image descriptors, LZW sub-blocks) and return one
+    (frame_idx, byte_offset_of_image_descriptor, delay_cs) per frame —
+    the seek table a frame-extraction stage consumes. Returns [] for
+    anything unparseable (total, never a crash on a hostile row)."""
+    try:
+        if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")) or len(data) < 13:
+            return []
+        packed = data[10]
+        i = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+        n = len(data)
+        frames: list[tuple[int, int, int]] = []
+        delay = 0
+        while i < n:
+            b = data[i]
+            if b == 0x3B:  # trailer
+                return frames
+            if b == 0x21:  # extension: label, then sub-blocks
+                if i + 2 >= n:
+                    return []
+                if data[i + 1] == 0xF9 and data[i + 2] == 4 and i + 6 <= n:
+                    delay = struct.unpack("<H", data[i + 4 : i + 6])[0]
+                j = i + 2
+                while j < n and data[j] != 0:
+                    j += 1 + data[j]
+                i = j + 1
+            elif b == 0x2C:  # image descriptor
+                if i + 10 > n:
+                    return []
+                frames.append((len(frames), i, delay))
+                delay = 0  # a GCE applies to one following image
+                flags = data[i + 9]
+                j = i + 10 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+                j += 1  # LZW minimum code size
+                while j < n and data[j] != 0:
+                    j += 1 + data[j]
+                i = j + 1
+            else:
+                return []  # malformed block stream
+        return frames
+    except (struct.error, IndexError):
+        return []
 
 
-def sample_frames(df: DataFrame, payload_col: str = "payload", decode_stub: bool = True) -> DataFrame:
-    """binary payload -> one row per sampled frame offset. The real
-    implementation seeks keyframes with a container parser (av/ffmpeg);
-    the stub derives deterministic offsets so the distributed plumbing
-    (batch iterator, explode shape, schema) is real and testable."""
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", container: str = "gif"
+) -> DataFrame:
+    """binary payload -> one row per frame (offset + delay). GIF parses
+    for REAL (block-structure walk, stdlib only); other containers
+    (mp4/mkv/audio) raise at the exact call site where av/ffmpeg would
+    run on a real cluster."""
+    if container != "gif":
+        def gated(it):
+            raise NotImplementedError(
+                f"{container} frame sampling requires a media container "
+                "parser not present in this sandbox; GIF parses for real"
+            )
+            yield  # pragma: no cover
+
+        return df.select("doc_id", payload_col).mapInPandas(gated, schema=FRAME_SCHEMA)
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
-            ids, idxs, offs = [], [], []
+            ids, idxs, offs, dels = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                data = bytes(payload)
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "frame sampling requires a media container parser not "
-                        "present in this sandbox; run with decode_stub=True"
-                    )
-                for k, off in enumerate(_fake_frame_offsets(data)):
+                for k, off, delay in gif_frame_info(bytes(payload)):
                     ids.append(int(doc_id))
                     idxs.append(k)
                     offs.append(off)
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "byte_offset": offs})
+                    dels.append(delay)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "byte_offset": offs, "delay_cs": dels}
+            )
 
     return df.select("doc_id", payload_col).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return sample_frames(payloads).orderBy("doc_id", "frame_idx")
+    """Real frame sampling over the materialized animated-GIF corpus
+    (1-4 frames per doc). The oracle restates the builder's closed-form
+    layout (fixed-width blocks), so a parser that miscounts any block
+    length or misreads a delay hash-mismatches."""
+    from nreadability_spark.sources.synth import materialize_gifs
+
+    payloads = spark.read.parquet(materialize_gifs(spark, sf_dir))
+    return sample_frames(payloads, container="gif").orderBy("doc_id", "frame_idx")
 
 
 def multimodal_frames_sql() -> str:
-    h = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
-    nb = "greatest(octet_length(encode(text)), 1)"
+    from nreadability_spark.sources.synth import (
+        GIF_DESC_OFFSET_IN_FRAME,
+        GIF_FRAME_LEN,
+        GIF_HEADER_LEN,
+    )
+
+    base_off = GIF_HEADER_LEN + GIF_DESC_OFFSET_IN_FRAME
     return f"""
 WITH base AS (
-  SELECT doc_id, {h} AS h, {nb} AS n_bytes, 1 + ({h} % 4) AS n_frames
-  FROM documents
+  SELECT doc_id, 1 + doc_id % 4 AS n_frames FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx FROM base
 )
-SELECT doc_id,
-       CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
-       unnest([ (h // (k + 1)) % n_bytes FOR k IN range(n_frames) ]) AS byte_offset
-FROM base
+SELECT doc_id, frame_idx,
+       CAST({base_off} + {GIF_FRAME_LEN} * frame_idx AS BIGINT) AS byte_offset,
+       CAST((doc_id * 7 + frame_idx * 3) % 100 AS BIGINT) AS delay_cs
+FROM frames
 ORDER BY doc_id, frame_idx
 """
 

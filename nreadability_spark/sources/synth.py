@@ -246,6 +246,54 @@ def build_gif(width: int, height: int) -> bytes:
 
 _IMAGE_BUILDERS = {"png": build_png, "jpeg": build_jpeg, "gif": build_gif}
 
+# minimal VALID single-pixel LZW image data (min code size 2, one
+# clear + one pixel + EOI) — the classic smallest-GIF payload
+_GIF_PIXEL_DATA = b"\x02\x02\x44\x01\x00"
+
+
+def build_gif_animated(width: int, height: int, delays_cs: list[int]) -> bytes:
+    """Animated GIF89a: logical screen + 2-color global table, then one
+    (graphic-control extension, 1x1 image descriptor, pixel data) block
+    per frame. Every field is fixed-width, so frame k's image
+    descriptor sits at a closed-form byte offset the frame-sampling
+    oracle can restate (header 19 bytes, 23 bytes per frame, the 0x2C
+    descriptor 8 bytes into its frame block)."""
+    parts = [
+        b"GIF89a",
+        struct.pack("<HH", width, height),
+        bytes([0x80, 0, 0]),  # GCT present, 2 colors
+        b"\x00\x00\x00\xff\xff\xff",  # global color table
+    ]
+    for delay in delays_cs:
+        parts.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00")
+        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00")
+        parts.append(_GIF_PIXEL_DATA)
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
+# closed-form frame-offset constants implied by build_gif_animated's
+# fixed-width layout (asserted against the real parser in tests)
+GIF_HEADER_LEN = 6 + 7 + 6  # signature+LSD + 2-color global table
+GIF_FRAME_LEN = 8 + 10 + len(_GIF_PIXEL_DATA)  # GCE + descriptor + data
+GIF_DESC_OFFSET_IN_FRAME = 8  # the 0x2C byte follows the 8-byte GCE
+
+
+def gif_frame_count_for(doc_id: int) -> int:
+    return 1 + doc_id % 4
+
+
+def gif_delay_for(doc_id: int, frame_idx: int) -> int:
+    return (doc_id * 7 + frame_idx * 3) % 100
+
+
+def gif_payload_for(doc_id: int) -> bytes:
+    _fmt, width, height = image_meta_for(doc_id)
+    delays = [
+        gif_delay_for(doc_id, k) for k in range(gif_frame_count_for(doc_id))
+    ]
+    return build_gif_animated(width, height, delays)
+
 
 def image_meta_for(doc_id: int) -> tuple[str, int, int]:
     """Closed-form (format, width, height) per doc_id — the synthesis
@@ -309,6 +357,26 @@ def materialize_images(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "images.parquet", build, cache_root)
+
+
+def materialize_gifs(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) animated-GIF corpus (1-4 frames each)
+    for the documents at ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [gif_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "gifs.parquet", build, cache_root)
 
 
 def doc_page_shell(doc_id, text) -> str:

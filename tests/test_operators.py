@@ -715,3 +715,29 @@ def test_knn_zero_vector_parity(spark, tmp_path):
            similarity.knn_brute_force(spark, str(tmp_path)).collect()}
     assert got[1] == 0.0  # the zero vector scores an exact 0, not NaN
     con.close()
+
+
+def test_gif_frame_parse_is_real():
+    """The frame sampler must recover offsets and delays from actual
+    GIF block structure — including payloads the doc-keyed formula
+    never produces — and be total on garbage."""
+    from nreadability_spark.operators.multimodal import gif_frame_info
+    from nreadability_spark.sources import synth
+
+    g = synth.build_gif_animated(320, 200, [10, 25, 77])
+    assert gif_frame_info(g) == [(0, 27, 10), (1, 50, 25), (2, 73, 77)]
+    # the parsed offsets really are image descriptors
+    assert g[27] == 0x2C and g[50] == 0x2C and g[73] == 0x2C
+    for junk in (b"", b"GIF89a", b"\xff" * 50, g[:-2], b"GIF89a" + b"\x00" * 30):
+        assert isinstance(gif_frame_info(junk), list)
+
+
+def test_frame_sampling_other_containers_gated(spark):
+    from nreadability_spark.operators import multimodal
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    df = multimodal.sample_frames(payloads, container="mp4")
+    with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
+        df.collect()
