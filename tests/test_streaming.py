@@ -378,3 +378,79 @@ def test_stream_ordered_offsets_out_of_order_batches(spark, tmp_path):
         if r["turn_idx"] != 900  # sentinels stay buffered (nothing after them)
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_fn_first_seen_wins_and_ttl():
+    """Unit: the keyed first-seen filter — within a batch the minimum
+    (conv_id, turn_idx) is canonical; a seen fingerprint drops all later
+    arrivals; the TTL arms and evicts."""
+    import pandas as pd
+
+    from nreadability_spark.streaming.dedup_stream import _dedup_fn, _make_dedup_fn
+
+    def batch(rows):
+        return pd.DataFrame(
+            {"conv_id": [r[0] for r in rows], "turn_idx": [r[1] for r in rows]}
+        )
+
+    state = _FakeState()
+    (out,) = list(_dedup_fn((77,), iter([batch([("c2", 5), ("c1", 3), ("c1", 1)])]), state))
+    assert list(out.itertuples(index=False, name=None)) == [(77, "c1", 1)]
+    assert state.get == ("c1", 1)
+    # second batch, same fingerprint: everything is a duplicate
+    (out2,) = list(_dedup_fn((77,), iter([batch([("c0", 0)])]), state))
+    assert out2.empty
+    assert state.get == ("c1", 1)  # canonical unchanged
+    # TTL arms on live groups and evicts on timeout
+    fn = _make_dedup_fn(45_000)
+    s2 = _FakeState()
+    list(fn((9,), iter([batch([("c", 0)])]), s2))
+    assert s2.timeout_ms == 45_000
+    s2.hasTimedOut = True
+    (flushed,) = list(fn((9,), iter([]), s2))
+    assert flushed.empty and s2.removed
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """End-to-end: duplicates split across two micro-batches — the
+    first batch's occurrence is canonical, later duplicates (same batch
+    or later batches) are dropped, distinct rows all pass."""
+    from nreadability_spark.sources.synth import TRANSCRIPTS_SCHEMA
+    from nreadability_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    dup = "Shared boilerplate page, repeated across the crawl, again."
+    uniq = [f"unique document number {i} with its own words" for i in range(4)]
+    batch1 = [("a0", 0, "user", dup, None, None),
+              ("a1", 0, "user", uniq[0], None, None),
+              ("a1", 1, "user", dup, None, None)]     # within-batch dup
+    batch2 = [("b0", 0, "user", dup, None, None),      # cross-batch dup
+              ("b1", 0, "user", uniq[1], None, None),
+              ("b2", 0, "user", "  shared   BOILERPLATE page, repeated across the crawl, again.".replace("BOILERPLATE", "boilerplate"), None, None),
+              ("b3", 0, "user", uniq[2], None, None)]
+    spark.createDataFrame(batch1, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from dedup_out").collect()
+    by_conv = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    # one row per distinct normalized content: dup family canonicalized
+    # at its minimum first-batch occurrence ("a0", 0); b2's whitespace/
+    # case variant normalizes to the same fingerprint and is dropped
+    assert ("a0", 0) in by_conv
+    assert not {("a1", 1), ("b0", 0), ("b2", 0)} & by_conv
+    assert {("a1", 0), ("b1", 0), ("b3", 0)} <= by_conv
+    assert len(rows) == 4  # dup family once + 3 uniques
