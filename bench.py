@@ -40,6 +40,7 @@ HEADLINE = [
     "text_bottomk_containment",
     "rel_price_quantiles_approx",
     "pipeline_clean_corpus",
+    "pipeline_training_ready",
     "extract_doc_pages",
     "extract_mixed_media",
     "extract_stitch_conversations",

@@ -77,10 +77,12 @@ def clean_corpus(
     )
 
 
-def clean_corpus_sql(min_tokens: int = MIN_TOKENS) -> str:
+def _clean_corpus_ctes(min_tokens: int = MIN_TOKENS) -> str:
+    """The clean-corpus CTE chain ending at ``survivors`` (doc_id,
+    fp60, n_tokens) — shared by the clean-corpus oracle and the
+    training-ready composition's oracle."""
     lsh = dedup.minhash_lsh_sql()
-    return f"""
-WITH quality AS (
+    return f"""quality AS (
   SELECT doc_id,
          {hashing.h60_sql(_norm_text_sql('text'))} AS fp60,
          CAST({tx.token_count_sql('text')} AS BIGINT) AS n_tokens
@@ -99,13 +101,88 @@ dropped AS (
   FROM lsh_pairs p
   JOIN reps a ON a.doc_id = p.doc_a
   JOIN reps b ON b.doc_id = p.doc_b
-)
-SELECT doc_id, fp60, n_tokens
-FROM reps
-WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+survivors AS (
+  SELECT doc_id, fp60, n_tokens
+  FROM reps
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)"""
+
+
+def clean_corpus_sql(min_tokens: int = MIN_TOKENS) -> str:
+    return f"""
+WITH {_clean_corpus_ctes(min_tokens)}
+SELECT doc_id, fp60, n_tokens FROM survivors
 ORDER BY doc_id
 """
 
 
-QUERIES = {"pipeline_clean_corpus": clean_corpus}
-ORACLES = {"pipeline_clean_corpus": clean_corpus_sql()}
+# --- training-ready composition ----------------------------------------
+
+def training_ready(
+    spark: SparkSession, sf_dir: str, min_tokens: int = MIN_TOKENS
+) -> DataFrame:
+    """The full corpus-preparation chain a training job reads, end to
+    end as one lazy plan:
+
+        clean_corpus (quality + exact dedup + near-dup prune)
+          -> drop the evaluation slice itself (doc_id % bench_every)
+          -> drop contaminated docs (8-gram overlap with the eval set,
+             broadcast hash-set semi-join — no corpus shuffle)
+          -> deterministic train/val/test assignment from the CONTENT
+             fingerprint already in hand (fp60 mod 100 — duplicates
+             share splits, stable under re-ingestion)
+
+    Output: (doc_id, n_tokens, split). Every stage reuses the
+    already-verified operator builders, so this query is the
+    composition test: any drift in a stage breaks this oracle too."""
+    from nreadability_spark.operators import textops
+
+    survivors = clean_corpus(spark, sf_dir, min_tokens=min_tokens)
+    contaminated = textops.decontaminate(spark, sf_dir).select("doc_id")
+    bucket = F.col("fp60") % F.lit(100)
+    split = (
+        F.when(bucket < textops.SPLIT_TRAIN_PCT, "train")
+        .when(bucket < textops.SPLIT_TRAIN_PCT + textops.SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        survivors.where(F.col("doc_id") % textops.DECON_BENCH_EVERY != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+def training_ready_sql(min_tokens: int = MIN_TOKENS) -> str:
+    from nreadability_spark.operators import textops
+
+    n, every = textops.DECON_NGRAM, textops.DECON_BENCH_EVERY
+    bucket = "(fp60 % 100)"
+    return f"""
+WITH {_clean_corpus_ctes(min_tokens)},
+sh AS ({tx.hashed_shingles_sql('documents', n)}),
+bench AS (SELECT DISTINCT sh60 FROM sh WHERE doc_id % {every} = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.sh60 = b.sh60
+  WHERE s.doc_id % {every} != 0
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN {bucket} < {textops.SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {bucket} < {textops.SPLIT_TRAIN_PCT + textops.SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM survivors
+WHERE doc_id % {every} != 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pipeline_clean_corpus": clean_corpus,
+    "pipeline_training_ready": training_ready,
+}
+ORACLES = {
+    "pipeline_clean_corpus": clean_corpus_sql(),
+    "pipeline_training_ready": training_ready_sql(),
+}

@@ -741,3 +741,29 @@ def test_frame_sampling_other_containers_gated(spark):
     df = multimodal.sample_frames(payloads, container="mp4")
     with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
         df.collect()
+
+
+def test_training_ready_excludes_eval_and_contaminated(spark, tmp_path):
+    """The composed training-ready corpus must exclude the evaluation
+    slice itself AND training docs that overlap it, keep clean
+    survivors, and assign content-stable splits."""
+    from nreadability_spark.operators import textops
+    from nreadability_spark.plans.pipeline import training_ready
+
+    bench_text = " ".join(f"eval{i}" for i in range(40))
+    texts = []
+    for i in range(120):
+        if i % textops.DECON_BENCH_EVERY == 0:
+            texts.append(bench_text + f" variant {i}")
+        elif i == 7:
+            texts.append(bench_text + " leaked verbatim prefix into training")
+        else:
+            texts.append(
+                " ".join(f"doc{i}tok{j}x{(i * 13 + j) % 31}" for j in range(40))
+            )
+    _write_docs(spark, str(tmp_path), texts)
+    rows = {r["doc_id"]: r for r in training_ready(spark, str(tmp_path)).collect()}
+    assert 0 not in rows and 50 not in rows and 100 not in rows  # eval slice out
+    assert 7 not in rows                                         # contaminated out
+    assert 13 in rows                                            # clean doc kept
+    assert set(r["split"] for r in rows.values()) <= {"train", "val", "test"}
