@@ -323,10 +323,19 @@ _CACHE_ROOT = os.path.join(
 )
 
 
+def _synth_version() -> str:
+    """Content hash of THIS module — the cache key component that makes
+    any edit to a payload builder invalidate every materialized corpus
+    automatically (a stale cache would silently diverge from the
+    closed-form oracles)."""
+    with open(os.path.abspath(__file__), "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def _materialize(spark, sf_dir, fname, build_df, cache_root=None):
     root = cache_root or _CACHE_ROOT
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(root, sf_name, fname)
+    path = os.path.join(root, sf_name, _synth_version(), fname)
     if os.path.isdir(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
