@@ -767,3 +767,27 @@ def test_training_ready_excludes_eval_and_contaminated(spark, tmp_path):
     assert 7 not in rows                                         # contaminated out
     assert 13 in rows                                            # clean doc kept
     assert set(r["split"] for r in rows.values()) <= {"train", "val", "test"}
+
+
+def test_lang_id_marker_join_broadcasts(spark):
+    """The lang-ID model table must reach the corpus as a broadcast
+    build side (the 100 TB contract: model-as-data, no corpus shuffle
+    for the scoring join)."""
+    from nreadability_spark.operators import textops
+
+    plan = (
+        textops.lang_id(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_training_ready_contamination_join_broadcasts(spark):
+    from nreadability_spark.plans.pipeline import training_ready
+
+    plan = (
+        training_ready(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the contaminated-ids anti-join is a broadcast (eval-set-sized)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
