@@ -87,9 +87,12 @@ def web_transcode(fetch, url, options=None, page_separator_builder=default_page_
         _append_next_page(document, next_page, fetch, options, page_separator_builder, state)
 
     if state.cur_page_num > 1:
-        # rename the first content div (WT:121-128)
+        # rename the first content div (WT:121-128; XElement.Element("div")
+        # is the first DIRECT CHILD NAMED div, not the first element of
+        # any name)
         inner = document.get_element_by_id(INNER_DIV_ID)
-        article_container = inner.elements()[0] if inner is not None and inner.elements() else None
+        divs = inner.get_children_by_tag_name("div") if inner is not None else []
+        article_container = divs[0] if divs else None
         if article_container is not None:
             article_container.set_id(PAGE_ID_PREFIX + "1")
             article_container.set_class("page")
