@@ -426,19 +426,46 @@ def _assigned_vectors(spark: SparkSession, sf_dir: str):
     return emb, assigned
 
 
-def _pair_cols(threshold):
-    return (
-        lambda joined: joined.select(
+def _pandas_dot():
+    """Arrow-vectorized numpy dot product — the measured-faster kernel
+    for the exact pair-verification stage (~2x the higher-order-function
+    form at sf0.1: HOFs are interpreted per element, numpy is one C
+    loop per batch). NOT the oracle-pinned default: numpy's pairwise
+    summation can differ from the sequential left-associative chain in
+    the last ulp, which the 6-dp rounding almost always — but not
+    provably always — hides."""
+    import pandas as pd  # noqa: F401 — signature needs the types
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pdot(ea, eb):
+        import numpy as np
+        import pandas as _pd
+
+        a = np.stack(ea.values)
+        b = np.stack(eb.values)
+        return _pd.Series((a * b).sum(axis=1))
+
+    return pdot
+
+
+def _pair_cols(threshold, kernel: str = "jvm"):
+    def project(joined):
+        if kernel == "pandas":
+            dot = _pandas_dot()(F.col("a.e"), F.col("b.e"))
+        else:
+            dot = _dot(F.col("a.e"), F.col("b.e"))
+        return joined.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").cast("long").alias("cell"),
             F.round(
-                _dot(F.col("a.e"), F.col("b.e"))
-                / F.greatest(F.col("a.n") * F.col("b.n"), F.lit(1e-300)),
+                dot / F.greatest(F.col("a.n") * F.col("b.n"), F.lit(1e-300)),
                 6,
             ).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
-    )
+
+    return project
 
 
 def embedding_near_dups(
@@ -447,6 +474,7 @@ def embedding_near_dups(
     threshold: float = COSINE_DUP_THRESHOLD,
     strategy: str = "auto",
     n_salts: int = NEAR_DUP_SALTS,
+    kernel: str = "jvm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors are blocked by
     their IVF cell (nearest pinned centroid), and only same-cell pairs
@@ -472,6 +500,13 @@ def embedding_near_dups(
       vec_id_a < vec_id_b to avoid the double match.
     - ``auto``: broadcast when the scanned parquet is under
       ``BROADCAST_PAIR_JOIN_MAX_BYTES``, else block_pairs.
+
+    ``kernel``: ``jvm`` (default, oracle-pinned — sequential-order HOF
+    dot, bit-identical to the SQL twin) or ``pandas`` (Arrow-batched
+    numpy dot — measured ~2x faster on the verification stage at sf0.1;
+    last-ulp summation-order caveat in ``_pandas_dot``). At 100 TB the
+    pandas kernel is the production pick: the verification stage is
+    compute-bound and the Arrow transfer is amortized per batch.
     """
     _, assigned = _assigned_vectors(spark, sf_dir)
     if strategy == "auto":
@@ -487,7 +522,7 @@ def embedding_near_dups(
             F.broadcast(b),
             (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        return _pair_cols(threshold)(joined).orderBy("vec_a", "vec_b")
+        return _pair_cols(threshold, kernel)(joined).orderBy("vec_a", "vec_b")
 
     # block_pairs: salted sub-block pair join (no broadcast of the table)
     salted = assigned.withColumn(
@@ -509,7 +544,7 @@ def embedding_near_dups(
         # distinct sub-blocks meet once; same sub-block needs the id order
         & ((F.col("a.bi") != F.col("a.bj")) | (F.col("a.vec_id") < F.col("b.vec_id"))),
     )
-    pairs = _pair_cols(threshold)(joined).select(
+    pairs = _pair_cols(threshold, kernel)(joined).select(
         F.least("vec_a", "vec_b").alias("vec_a"),
         F.greatest("vec_a", "vec_b").alias("vec_b"),
         "cell",
