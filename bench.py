@@ -33,6 +33,7 @@ HEADLINE = [
     "sim_knn_brute_force",
     "sim_knn_ivf",
     "multimodal_decode_meta",
+    "multimodal_audio_meta",
     "rel_event_sessions",
     "rel_asof_join",
     "dedup_embedding_cosine",

@@ -5,16 +5,19 @@ A 100 TB training-data table carries image/audio/video as opaque
 schema, Arrow-batched ``mapInPandas`` decode stage, partition-friendly
 metadata extraction — with a REAL stdlib image-header decoder:
 
-- ``media="image"`` (default): parse format/width/height straight from
-  the payload bytes — PNG IHDR, JPEG SOFn frame header, GIF logical
-  screen descriptor (public format specs; zero dependencies).
-  Unrecognized bytes yield ``("unknown", NULL, NULL)`` — total, never a
-  crash on a hostile row.
-- ``media="audio"`` / ``media="video"``: raises ``NotImplementedError``
-  at the exact call site where ``soundfile.read`` / an ``av`` container
-  parser would run on a real cluster (no audio/video libraries in this
-  sandbox). Frame SAMPLING is real for GIF (multi-frame container,
-  block-structure walk in ``gif_frame_info``); mp4/mkv stay gated.
+- images (``decode_metadata``): format/width/height parsed straight
+  from the payload bytes — PNG IHDR, JPEG SOFn frame header, GIF
+  logical screen descriptor (public format specs; zero dependencies);
+- audio (``decode_audio_metadata``): real RIFF/WAVE chunk walk —
+  sample rate, channels, bit depth, sample count, duration;
+- video-ish frame SAMPLING (``sample_frames``): real for GIF
+  (multi-frame container, block-structure walk in ``gif_frame_info``).
+
+Unrecognized bytes yield ``unknown``/NULL rows — total, never a crash
+on a hostile row. The only gated path left is ``decode_samples``:
+decoding actual audio samples / video pixels needs codec libraries
+absent from this sandbox, and it raises at the exact ``soundfile``/
+``av`` call site a real cluster would run.
 
 The batch iterator shape (``Iterator[pd.DataFrame] ->
 Iterator[pd.DataFrame]``) is the real production signature: one Arrow
@@ -86,12 +89,11 @@ def decode_image_meta(data: bytes) -> tuple[str, int | None, int | None]:
     return "unknown", None, None
 
 
-def decode_metadata(
-    df: DataFrame, payload_col: str = "payload", media: str = "image"
-) -> DataFrame:
-    """binary payload column -> typed metadata rows via mapInPandas."""
-    if media not in ("image", "audio", "video"):
-        raise ValueError(f"unknown media kind: {media!r}")
+def decode_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary image payloads -> typed metadata rows via mapInPandas
+    (real header parse; audio metadata is ``decode_audio_metadata``,
+    the codec-needing sample/pixel decode is the gated
+    ``decode_samples``)."""
 
     def batches(it):
         import pandas as pd
@@ -100,15 +102,7 @@ def decode_metadata(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
-                if media == "image":
-                    fmt, width, height = decode_image_meta(data)
-                else:
-                    # real cluster path: soundfile/av decode here
-                    raise NotImplementedError(
-                        f"{media} decode requires media libraries not "
-                        "present in this sandbox; image headers decode "
-                        "for real via media='image'"
-                    )
+                fmt, width, height = decode_image_meta(data)
                 rows.append((int(doc_id), len(data), fmt, width, height))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "format", "width", "height"]
@@ -127,7 +121,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = materialize_images(spark, sf_dir)
     payloads = spark.read.parquet(path)
-    return decode_metadata(payloads, media="image").orderBy("doc_id")
+    return decode_metadata(payloads).orderBy("doc_id")
 
 
 def multimodal_metadata_sql() -> str:
@@ -146,6 +140,130 @@ SELECT doc_id,
        CAST(64 + (doc_id * 7) % 1024 AS BIGINT) AS width,
        CAST(64 + (doc_id * 11) % 1024 AS BIGINT) AS height
 FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- audio metadata (real RIFF/WAVE parse) -----------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+_AUDIO_UNKNOWN = ("unknown", None, None, None, None)
+
+
+def decode_audio_meta(data: bytes):
+    """(format, sample_rate, n_channels, bits, n_samples) parsed from a
+    real RIFF/WAVE chunk walk (fmt + data chunks, word-aligned);
+    ``("unknown", None, ...)`` for anything unparseable — including
+    compressed audio (mp3/aac), whose SAMPLE decode is the genuinely
+    gated path (``decode_samples``)."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return _AUDIO_UNKNOWN
+        i, n = 12, len(data)
+        fmt = None
+        data_len = None
+        while i + 8 <= n:
+            cid = data[i : i + 4]
+            size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body = data[i + 8 : i + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                _afmt, ch, sr, _br, block, bits = struct.unpack("<HHIIHH", body[:16])
+                fmt = (ch, sr, block, bits)
+            elif cid == b"data":
+                data_len = min(size, n - i - 8)  # truncated files: actual bytes
+            i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        if fmt is None or data_len is None:
+            return _AUDIO_UNKNOWN
+        ch, sr, block, bits = fmt
+        if not block:
+            return _AUDIO_UNKNOWN
+        return "wav", sr, ch, bits, data_len // block
+    except (struct.error, IndexError):
+        return _AUDIO_UNKNOWN
+
+
+def decode_audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary audio payloads -> typed metadata rows via mapInPandas."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                fmt, sr, ch, bits, ns = decode_audio_meta(data)
+                dur = (ns * 1000) // sr if sr and ns is not None else None
+                rows.append((int(doc_id), len(data), fmt, sr, ch, bits, ns, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "format", "sample_rate",
+                    "n_channels", "bits", "n_samples", "duration_ms",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """The genuinely gated stage: decoding actual audio SAMPLES (or
+    video pixels) requires codec libraries absent from this sandbox —
+    raises at the exact call site ``soundfile.read``/``av`` would run.
+    Header metadata decodes for real via ``decode_audio_metadata``."""
+
+    def gated(it):
+        raise NotImplementedError(
+            "sample decode requires codec libraries not present in this "
+            "sandbox; header metadata parses for real (decode_audio_metadata)"
+        )
+        yield  # pragma: no cover
+
+    return df.select("doc_id", payload_col).mapInPandas(gated, schema=AUDIO_META_SCHEMA)
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RIFF/WAVE metadata decode over the materialized PCM corpus;
+    the oracle restates the synthesizer's closed-form parameters."""
+    from nreadability_spark.sources.synth import materialize_wavs
+
+    payloads = spark.read.parquet(materialize_wavs(spark, sf_dir))
+    return decode_audio_metadata(payloads).orderBy("doc_id")
+
+
+def multimodal_audio_sql() -> str:
+    from nreadability_spark.sources.synth import WAV_BITS, WAV_HEADER_LEN, WAV_SAMPLE_RATES
+
+    rates = ",".join(str(r) for r in WAV_SAMPLE_RATES)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         [{rates}][(doc_id % 4) + 1] AS sample_rate,
+         1 + doc_id % 2 AS n_channels,
+         100 + (doc_id * 13) % 400 AS n_samples
+  FROM documents
+)
+SELECT doc_id,
+       CAST({WAV_HEADER_LEN} + n_samples * n_channels * 2 AS BIGINT) AS n_bytes,
+       'wav' AS format,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_channels AS BIGINT) AS n_channels,
+       CAST({WAV_BITS} AS BIGINT) AS bits,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms
+FROM base
 ORDER BY doc_id
 """
 
@@ -276,9 +394,11 @@ ORDER BY doc_id, frame_idx
 
 QUERIES = {
     "multimodal_decode_meta": multimodal_metadata,
+    "multimodal_audio_meta": multimodal_audio,
     "multimodal_frame_sample": multimodal_frames,
 }
 ORACLES = {
     "multimodal_decode_meta": multimodal_metadata_sql(),
+    "multimodal_audio_meta": multimodal_audio_sql(),
     "multimodal_frame_sample": multimodal_frames_sql(),
 }

@@ -295,6 +295,40 @@ def gif_payload_for(doc_id: int) -> bytes:
     return build_gif_animated(width, height, delays)
 
 
+WAV_SAMPLE_RATES = (8000, 16000, 22050, 44100)
+WAV_BITS = 16
+WAV_HEADER_LEN = 44  # RIFF(12) + fmt chunk(8+16) + data chunk header(8)
+
+
+def build_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
+    """Valid 16-bit PCM RIFF/WAVE file (silence) — every field real,
+    parseable by any audio tool; fixed-layout so the metadata oracle is
+    closed-form (n_bytes = 44 + n_samples * n_channels * 2)."""
+    block = n_channels * WAV_BITS // 8
+    data_len = n_samples * block
+    fmt_body = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, WAV_BITS
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_meta_for(doc_id: int) -> tuple[int, int, int]:
+    """Closed-form (sample_rate, n_channels, n_samples) per doc_id."""
+    return (
+        WAV_SAMPLE_RATES[doc_id % 4],
+        1 + doc_id % 2,
+        100 + (doc_id * 13) % 400,
+    )
+
+
+def wav_payload_for(doc_id: int) -> bytes:
+    return build_wav(*wav_meta_for(doc_id))
+
+
 def image_meta_for(doc_id: int) -> tuple[str, int, int]:
     """Closed-form (format, width, height) per doc_id — the synthesis
     parameters the decoder must recover, restated by the SQL oracle."""
@@ -386,6 +420,26 @@ def materialize_gifs(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "gifs.parquet", build, cache_root)
+
+
+def materialize_wavs(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) PCM WAV corpus for the documents at
+    ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [wav_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "wavs.parquet", build, cache_root)
 
 
 def doc_page_shell(doc_id, text) -> str:

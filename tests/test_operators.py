@@ -153,16 +153,17 @@ def test_ivf_is_subset_of_brute_force_space(spark):
         assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
 
 
-def test_multimodal_audio_video_decode_is_gated(spark):
-    """Image headers decode for real; audio/video decode stays gated at
-    the exact call site a real cluster would run the media libraries."""
+def test_multimodal_sample_decode_is_gated(spark):
+    """Header metadata decodes for real (images, WAV, GIF frames); the
+    codec-needing sample/pixel decode stays gated at the exact call
+    site a real cluster would run the media libraries."""
     from nreadability_spark.operators import multimodal
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    df = multimodal.decode_metadata(payloads, media="audio")
-    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+    df = multimodal.decode_samples(payloads)
+    with pytest.raises(Exception, match="NotImplementedError|sample decode"):
         df.collect()
 
 
@@ -805,3 +806,19 @@ def test_near_dup_pandas_kernel_matches_jvm(spark):
            for r in similarity.embedding_near_dups(spark, SF_DIR, kernel="pandas").collect()}
     assert set(jvm) == set(pnd) and jvm
     assert all(abs(jvm[k] - pnd[k]) <= 1e-6 for k in jvm)
+
+
+def test_wav_metadata_decode_is_real():
+    """The audio decoder must recover fmt-chunk fields from actual
+    RIFF/WAVE bytes — including parameters the doc-keyed formula never
+    produces — and be total on garbage and truncation."""
+    from nreadability_spark.operators.multimodal import decode_audio_meta
+    from nreadability_spark.sources import synth
+
+    w = synth.build_wav(48000, 2, 777)
+    assert decode_audio_meta(w) == ("wav", 48000, 2, 16, 777)
+    assert decode_audio_meta(synth.build_wav(11025, 1, 1)) == ("wav", 11025, 1, 16, 1)
+    for junk in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", w[:30], b"\xff" * 64,
+                 b"ID3\x03mp3-ish compressed payload"):
+        fmt, *rest = decode_audio_meta(junk)
+        assert fmt == "unknown" and all(v is None for v in rest)
