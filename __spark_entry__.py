@@ -156,6 +156,39 @@ def _extract_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-transport path end-to-end: the same shelled pages as
+    ``extract_doc_pages``, but rendered into WARC/1.0 archives (the
+    Common Crawl at-rest format), read back through the distributed
+    WARC reader (binaryFile scan -> Arrow-batched record parse), and
+    extracted. Oracle: the ``extract_doc_pages`` golden — a lossy WARC
+    writer, a record-walk bug, or an HTTP-split error all surface as a
+    hash mismatch against the independently-computed expectation."""
+    from nreadability_spark.operators.extract import extract_columns
+    from nreadability_spark.sources.synth import materialize_warc
+    from nreadability_spark.sources.warc import read_warc
+
+    _ship_package(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    rows = read_warc(spark, materialize_warc(spark, sf_dir) + "/*.warc")
+    docs = rows.where(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("payload").alias("text"),
+    )
+    out = extract_columns(_salted(docs), include_html=False)
+    return _ordered_small(
+        out.select(
+            "doc_id",
+            "extracted",
+            "title",
+            F.length("content_text").cast("long").alias("content_len"),
+            F.size("spans").cast("long").alias("n_spans"),
+            "error",
+        ),
+        "doc_id",
+    )
+
+
 def _extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule pipeline end-to-end on a synthesized transcripts
     table: deterministic generator -> Arrow-batched extraction UDF ->
@@ -209,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {name: _with_shipping(fn) for name, fn in q.items()}
     q["extract_documents"] = _extract_documents
     q["extract_doc_pages"] = _extract_doc_pages
+    q["extract_warc_pages"] = _extract_warc_pages
     q["extract_transcripts"] = _extract_transcripts
     q["extract_mixed_media"] = _extract_mixed_media
     return q
@@ -219,6 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GOLDEN_FILES = {
     "extract_documents": "expected_extract_documents.parquet",
     "extract_doc_pages": "expected_extract_doc_pages.parquet",
+    # same pages, different transport: the WARC round trip must land on
+    # the doc-pages expectation exactly
+    "extract_warc_pages": "expected_extract_doc_pages.parquet",
     "extract_transcripts": "expected_extract_transcripts.parquet",
     "extract_stitch_conversations": "expected_extract_stitch.parquet",
     "extract_mixed_media": "expected_extract_mixed_media.parquet",

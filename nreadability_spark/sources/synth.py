@@ -422,6 +422,56 @@ def materialize_gifs(spark, sf_dir, cache_root=None) -> str:
     return _materialize(spark, sf_dir, "gifs.parquet", build, cache_root)
 
 
+def materialize_warc(spark, sf_dir, n_files=8, cache_root=None) -> str:
+    """Render the documents (in their page shells) as ``n_files``
+    uncompressed WARC/1.0 archives under the cache dir; returns the
+    directory. Each doc_id-bucket group writes one file from its worker
+    (local mode shares the filesystem; on a cluster this writer targets
+    shared storage — real crawls already exist at rest, this is input
+    fixture materialization)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    root = cache_root or _CACHE_ROOT
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(root, sf_name, _synth_version(), "warc")
+    if os.path.isdir(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    def write_group(key, pdf):
+        from nreadability_spark.sources.warc import build_warc
+
+        (bucket,) = key
+        pdf = pdf.sort_values("doc_id")
+        records = [
+            (
+                f"http://synth.example/doc/{int(d)}",
+                doc_page_shell(int(d), t),
+                f"doc-{int(d)}",
+            )
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        with open(os.path.join(tmp, f"part-{int(bucket):03d}.warc"), "wb") as f:
+            f.write(build_warc(records))
+        return pd.DataFrame({"bucket": [int(bucket)]})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    (
+        docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_files)))
+        .groupBy("bucket")
+        .applyInPandas(write_group, "bucket long")
+        .collect()
+    )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return path
+
+
 def materialize_wavs(spark, sf_dir, cache_root=None) -> str:
     """(doc_id, payload binary) PCM WAV corpus for the documents at
     ``sf_dir``; returns the cached parquet path."""
