@@ -43,6 +43,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "pipeline_training_ready",
     "extract_doc_pages",
+    "extract_warc_pages",
     "extract_mixed_media",
     "extract_stitch_conversations",
 ]
