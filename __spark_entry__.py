@@ -170,7 +170,7 @@ def _extract_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-    rows = read_warc(spark, materialize_warc(spark, sf_dir) + "/*.warc")
+    rows = read_warc(spark, materialize_warc(spark, sf_dir) + "/*.warc*")
     docs = rows.where(F.col("warc_type") == "response").select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         F.col("payload").alias("text"),

@@ -454,8 +454,12 @@ def materialize_warc(spark, sf_dir, n_files=8, cache_root=None) -> str:
             )
             for d, t in zip(pdf["doc_id"], pdf["text"])
         ]
-        with open(os.path.join(tmp, f"part-{int(bucket):03d}.warc"), "wb") as f:
-            f.write(build_warc(records))
+        # every other file in the at-rest gzip-member form: the reader
+        # must handle both transparently (real crawls are .warc.gz)
+        gz = int(bucket) % 2 == 1
+        ext = "warc.gz" if gz else "warc"
+        with open(os.path.join(tmp, f"part-{int(bucket):03d}.{ext}"), "wb") as f:
+            f.write(build_warc(records, compress=gz))
         return pd.DataFrame({"bucket": [int(bucket)]})
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

@@ -27,9 +27,9 @@ the result must equal the ``extract_doc_pages`` golden byte-for-byte
 from __future__ import annotations
 
 import re
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 WARC_VERSION = b"WARC/1.0"
@@ -75,9 +75,39 @@ def build_warc_record(
     return header + http_block + b"\r\n\r\n"
 
 
-def build_warc(records) -> bytes:
-    """records: iterable of (target_uri, html, record_id) tuples."""
-    return b"".join(build_warc_record(u, h, r) for u, h, r in records)
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (zlib writes mtime=0 — no wall
+    clock in the output, unlike ``gzip.compress``)."""
+    c = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(data) + c.flush()
+
+
+def build_warc(records, compress: bool = False) -> bytes:
+    """records: iterable of (target_uri, html, record_id) tuples.
+    ``compress=True`` writes the at-rest form real crawls use: one gzip
+    MEMBER per record (members concatenate legally, and a reader can
+    seek to any record boundary without decompressing the whole file)."""
+    recs = (build_warc_record(u, h, r) for u, h, r in records)
+    if compress:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plaintext records;
+    stops at the first corrupt member (total — yields the good prefix)."""
+    out = []
+    while data[:2] == b"\x1f\x8b":
+        obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunk = obj.decompress(data)
+        except zlib.error:
+            break
+        if not chunk and not obj.unused_data:
+            break  # no forward progress on malformed input
+        out.append(chunk)
+        data = obj.unused_data
+    return b"".join(out)
 
 
 _STATUS_RE = re.compile(rb"HTTP/\d\.\d (\d{3})")
@@ -85,7 +115,10 @@ _STATUS_RE = re.compile(rb"HTTP/\d\.\d (\d{3})")
 
 def parse_warc(data: bytes):
     """Yield dict rows for each well-formed record; skip malformed
-    tails (total — a corrupt archive yields its good prefix)."""
+    tails (total — a corrupt archive yields its good prefix). Sniffs
+    the at-rest gzip-member form and inflates it first."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
     i, n = 0, len(data)
     while i < n:
         start = data.find(WARC_VERSION, i)

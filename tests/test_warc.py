@@ -72,3 +72,30 @@ def test_warc_record_content_length_is_exact_bytes():
     rec = build_warc_record("http://a.example/u", "café × 3", "ru")
     (parsed,) = parse_warc(rec)
     assert parsed["payload"] == "café × 3"
+
+
+def test_warc_gzip_members_roundtrip(spark, tmp_path):
+    """The at-rest form: one gzip member per record must parse to the
+    same rows as the uncompressed archive, through the plain parser AND
+    the Spark reader; a corrupt member yields the good prefix."""
+    from nreadability_spark.sources.warc import _gunzip_members, read_warc
+
+    recs = [
+        (f"http://a.example/{j}", f"<p>compressed doc {j} café</p>", f"r{j}")
+        for j in range(5)
+    ]
+    plain = build_warc(recs)
+    gz = build_warc(recs, compress=True)
+    assert gz[:2] == b"\x1f\x8b" and gz != plain
+    assert _gunzip_members(gz) == plain
+    assert list(parse_warc(gz)) == list(parse_warc(plain))
+    # deterministic output (no wall-clock mtime in the gzip header)
+    assert build_warc(recs, compress=True) == gz
+    # corrupt SECOND member: first record still parses
+    m0 = build_warc(recs[:1], compress=True)
+    corrupt = m0 + b"\x1f\x8b" + b"\x00" * 20
+    assert len(list(parse_warc(corrupt))) == 1
+    # Spark reader handles the compressed file transparently
+    (tmp_path / "c.warc.gz").write_bytes(gz)
+    rows = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert {r["target_uri"] for r in rows} == {u for u, _, _ in recs}
