@@ -454,3 +454,57 @@ def test_stream_dedup_across_micro_batches(spark, tmp_path):
     assert not {("a1", 1), ("b0", 0), ("b2", 0)} & by_conv
     assert {("a1", 0), ("b1", 0), ("b3", 0)} <= by_conv
     assert len(rows) == 4  # dup family once + 3 uniques
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Keyed dedup state must persist through the checkpoint: after the
+    first run finishes, a restarted query over newly arrived files must
+    still drop duplicates of fingerprints seen BEFORE the restart."""
+    from nreadability_spark.sources.synth import TRANSCRIPTS_SCHEMA
+    from nreadability_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    dup = "Boilerplate seen before the restart, identical bytes."
+
+    def run():
+        stream = (
+            spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def write_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            dedup_stream(stream)
+            .writeStream.foreachBatch(write_batch)  # memory sink can't recover
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [("a0", 0, "user", dup, None, None),
+         ("a1", 0, "user", "first-run unique words here", None, None)],
+        TRANSCRIPTS_SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    run()
+    first = {(r["conv_id"], r["turn_idx"]) for r in spark.read.parquet(out).collect()}
+    assert first == {("a0", 0), ("a1", 0)}
+
+    # new files arrive AFTER the first query terminated; the restarted
+    # query recovers keyed state from the checkpoint
+    spark.createDataFrame(
+        [("b0", 0, "user", dup, None, None),                      # dup of pre-restart row
+         ("b1", 0, "user", "second-run unique other words", None, None)],
+        TRANSCRIPTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    total = {(r["conv_id"], r["turn_idx"]) for r in spark.read.parquet(out).collect()}
+    assert ("b1", 0) in total           # new unique passes
+    assert ("b0", 0) not in total       # pre-restart state still drops the dup
+    assert total == {("a0", 0), ("a1", 0), ("b1", 0)}
