@@ -89,3 +89,21 @@ def test_frozen_goldens_byte_equality():
         assert hashlib.sha256(result.html.encode()).hexdigest() == expected["html_sha256"], f"fixture {n_str} html drifted"
         assert result.extracted == expected["extracted"]
         assert result.title == expected["title"]
+
+
+def test_pretty_serialization_reparses_to_raw_form_on_fixtures():
+    """Real-page check of the pretty serializer: indentation whitespace
+    must be parse-invisible — for every reference fixture, parsing the
+    PRETTY serialization yields the same document as parsing the RAW
+    serialization (mixed-content suppression means no whitespace is
+    ever injected adjacent to text)."""
+    from nreadability_spark.core.dom import build_document, to_pretty_html
+    from nreadability_spark.sources.synth import load_fixture_payloads
+
+    fixtures = load_fixture_payloads()
+    assert fixtures, "reference checkout with SampleInput_*.html expected"
+    for html in fixtures:
+        d = build_document(html)
+        raw = d.to_html()
+        pretty = to_pretty_html(d)
+        assert build_document(pretty).to_html() == build_document(raw).to_html()
