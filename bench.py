@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_centroid_fit",
     "text_bottomk_containment",
+    "text_sequence_packing",
     "rel_price_quantiles_approx",
     "pipeline_clean_corpus",
     "pipeline_training_ready",

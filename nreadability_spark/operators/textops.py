@@ -544,6 +544,98 @@ ORDER BY doc_id
 """
 
 
+# --- sequence packing (fixed-token-budget pack assignment) -------------
+
+PACK_BUDGET = 2048  # tokens per training sequence
+PACK_BLOCK = 1024  # docs per prefix-sum block
+
+
+def sequence_packing(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    block_size: int = PACK_BLOCK,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: documents in deterministic
+    doc_id order are laid head-to-tail into fixed-token-budget packs
+    (the layout step a pretokenization writer runs); each doc reports
+    its global token offset, its starting pack, its offset within that
+    pack, and how many packs it spans.
+
+    The global running total is a TWO-PHASE prefix sum, not one giant
+    window: a single ``Window.orderBy(doc_id)`` puts the entire corpus
+    in ONE task. Instead (1) docs hash-aggregate into doc_id//block
+    blocks (map-side partials), (2) an exclusive running sum over the
+    per-block sums is a window over n_docs/block_size ROWS (at 10^12
+    docs and block 10^6 that is 10^6 rows — and the same decomposition
+    recurses if even that is too wide), (3) a within-block window is
+    bounded at ``block_size`` rows by construction. Same shape as the
+    conversation-offset two-phase plan, lifted to a global key."""
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).withColumn("_blk", (F.col("doc_id") / F.lit(block_size)).cast("long"))
+
+    blk_sums = toks.groupBy("_blk").agg(F.sum("n_tokens").alias("_blk_tokens"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_prefix = blk_sums.select(
+        "_blk", F.coalesce(F.sum("_blk_tokens").over(w_blk), F.lit(0)).alias("_blk_prefix")
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        toks.join(blk_prefix, "_blk")
+        .withColumn(
+            "offset_global",
+            (F.col("_blk_prefix") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset_global",
+            (F.col("offset_global") / F.lit(budget)).cast("long").alias("pack_id"),
+            (F.col("offset_global") % F.lit(budget)).cast("long").alias("pack_offset"),
+            F.when(F.col("n_tokens") == 0, F.lit(1))
+            .otherwise(
+                ((F.col("offset_global") + F.col("n_tokens") - 1) / F.lit(budget)).cast("long")
+                - (F.col("offset_global") / F.lit(budget)).cast("long")
+                + 1
+            )
+            .cast("long")
+            .alias("n_packs_spanned"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def sequence_packing_sql(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({tx.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS offset_global
+  FROM toks
+)
+SELECT doc_id, n_tokens, offset_global,
+       offset_global // {budget} AS pack_id,
+       offset_global % {budget} AS pack_offset,
+       CASE WHEN n_tokens = 0 THEN 1
+            ELSE (offset_global + n_tokens - 1) // {budget}
+                 - offset_global // {budget} + 1 END AS n_packs_spanned
+FROM pre
+ORDER BY doc_id
+"""
+
+
 # --- PII pattern scan ---------------------------------------------------
 
 # deliberately simple, portable regexes (same syntax both engines)
@@ -600,6 +692,7 @@ QUERIES = {
     "text_train_val_split": train_val_split,
     "text_repetition": repetition_scores,
     "text_pii_scan": pii_scan,
+    "text_sequence_packing": sequence_packing,
 }
 
 ORACLES = {
@@ -612,4 +705,5 @@ ORACLES = {
     "text_train_val_split": train_val_split_sql(),
     "text_repetition": repetition_scores_sql(),
     "text_pii_scan": pii_scan_sql(),
+    "text_sequence_packing": sequence_packing_sql(),
 }

@@ -822,3 +822,27 @@ def test_wav_metadata_decode_is_real():
                  b"ID3\x03mp3-ish compressed payload"):
         fmt, *rest = decode_audio_meta(junk)
         assert fmt == "unknown" and all(v is None for v in rest)
+
+
+def test_sequence_packing_offsets_and_spans(spark, tmp_path):
+    """Two-phase global prefix sum must equal the sequential layout:
+    contiguous offsets in doc_id order, pack arithmetic consistent,
+    docs spanning a budget boundary counted correctly."""
+    from nreadability_spark.operators import textops
+
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in (5, 10, 3, 20, 7, 0, 9)]
+    _write_docs(spark, str(tmp_path), texts)
+    rows = sorted(
+        textops.sequence_packing(spark, str(tmp_path), budget=16, block_size=2).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["offset_global"] == cum
+        assert r["pack_id"] == cum // 16 and r["pack_offset"] == cum % 16
+        if r["n_tokens"]:
+            want_span = (cum + r["n_tokens"] - 1) // 16 - cum // 16 + 1
+            assert r["n_packs_spanned"] == want_span
+        cum += r["n_tokens"]
+    # doc 3 (20 tokens from offset 18) must span packs 1..2
+    assert rows[3]["n_packs_spanned"] == 2
