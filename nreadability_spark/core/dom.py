@@ -292,9 +292,20 @@ class _Container(Node):
 
     def get_elements_by_tag_name(self, tag_name):
         """Descendant elements matching name, case-insensitively
-        (DomExtensions.cs:269-283)."""
+        (DomExtensions.cs:269-283). Direct stack walk (document order)
+        instead of the ``descendants()`` generator — this is the
+        hottest DOM query in the extraction profile."""
         tag_name = tag_name.lower()
-        return [e for e in self.descendants() if e.name == tag_name]
+        out = []
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if type(node) is Element:
+                if node.name == tag_name:
+                    out.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
+        return out
 
     def get_children_by_tag_name(self, tag_name):
         tag_name = tag_name.lower()
@@ -628,10 +639,16 @@ class _TreeBuilder(HTMLParser):
             return  # whitespace-only text node: dropped
         self._ensure_root()
         top = self.stack[-1]
-        if top.children and isinstance(top.children[-1], Text):
-            top.children[-1].value += data
+        kids = top.children
+        if kids and type(kids[-1]) is Text:
+            kids[-1].value += data
         else:
-            top.append(Text(data))
+            # inlined _Container.append for the fresh-node case (parser
+            # nodes never have a prior parent) — hot path
+            node = Text(data)
+            node.parent = top
+            node._pos = len(kids)
+            kids.append(node)
 
     # -- root simulation ---------------------------------------------------------
 
@@ -696,7 +713,10 @@ class _TreeBuilder(HTMLParser):
         self._ensure_root()
         self._validate_content(tag)
         element = Element(tag, _dedupe_attrs(attrs))
-        self.stack[-1].append(element)
+        top = self.stack[-1]
+        element.parent = top
+        element._pos = len(top.children)
+        top.children.append(element)
         if tag not in VOID_ELEMENTS:
             self.stack.append(element)
 

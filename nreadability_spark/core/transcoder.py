@@ -134,14 +134,40 @@ def extract(html_content, url=None, options=None):
             extracted=False, next_page_url=None, spans=[],
         )
 
-    run = _Run(opts, dont_strip_unlikelys=opts.dont_strip_unlikelys)
-    document, article, title_text, next_page_url = run.transcode_to_xml(html_content, url)
+    document = build_document(html_content)
 
-    # fallback: rerun once with unlikely-stripping disabled when the
-    # extracted text is too short (NRT:313-326)
-    if not opts.dont_strip_unlikelys and len(run.get_inner_text(article)) < MIN_ARTICLE_LENGTH_FOR_NO_FALLBACK:
+    # Guaranteed-fallback short-circuit: the fallback (NRT:313-326)
+    # triggers when the pass-1 article text is shorter than 250 chars.
+    # The article's text is drawn from the document's Text nodes (Value
+    # semantics exclude comments), every pipeline mutation only removes
+    # or preserves text (double-<br> collapse, <font> rename, break
+    # killing, strip/clean removals), and get_inner_text only trims and
+    # collapses — so the pristine document's total Text length is an
+    # upper bound on any pass-1 article length. Below the threshold,
+    # pass 1 provably cannot avoid the fallback; run ONLY the fallback
+    # pass, on the already-parsed tree. Pass 2 never reads pass-1 state
+    # (it re-derives everything from a fresh parse of the same string,
+    # and build_document is pure), so skipping pass 1 is observationally
+    # identical.
+    if (
+        not opts.dont_strip_unlikelys
+        and _document_text_upper_bound(document) < MIN_ARTICLE_LENGTH_FOR_NO_FALLBACK
+    ):
         run = _Run(opts, dont_strip_unlikelys=True)
-        document, article, title_text, next_page_url = run.transcode_to_xml(html_content, url)
+        document, article, title_text, next_page_url = run.transcode_to_xml(
+            html_content, url, document=document
+        )
+    else:
+        run = _Run(opts, dont_strip_unlikelys=opts.dont_strip_unlikelys)
+        document, article, title_text, next_page_url = run.transcode_to_xml(
+            html_content, url, document=document
+        )
+
+        # fallback: rerun once with unlikely-stripping disabled when the
+        # extracted text is too short (NRT:313-326)
+        if not opts.dont_strip_unlikelys and len(run.get_inner_text(article)) < MIN_ARTICLE_LENGTH_FOR_NO_FALLBACK:
+            run = _Run(opts, dont_strip_unlikelys=True)
+            document, article, title_text, next_page_url = run.transcode_to_xml(html_content, url)
 
     extracted = bool(article.children)
     content_text = run.get_inner_text(article)
@@ -157,6 +183,20 @@ def extract(html_content, url=None, options=None):
         next_page_url=next_page_url,
         spans=spans,
     )
+
+
+def _document_text_upper_bound(document):
+    """Total length of every Text node in the document — an upper bound
+    on the text length of any article pass 1 could produce (see the
+    guaranteed-fallback short-circuit in ``extract``). Comments are
+    excluded to mirror Value semantics; a comment body can never become
+    element text (parsed comment values cannot contain ``-->``, and no
+    regex stage introduces one)."""
+    total = 0
+    for node in document.descendant_nodes():
+        if isinstance(node, Text):
+            total += len(node.value)
+    return total
 
 
 def _article_spans(article):
@@ -188,8 +228,9 @@ class _Run:
 
     # -- lifecycle (NRT:284-333) --------------------------------------------
 
-    def transcode_to_xml(self, html_content, url):
-        document = build_document(html_content)
+    def transcode_to_xml(self, html_content, url, document=None):
+        if document is None:
+            document = build_document(html_content)
 
         self.prepare_document(document)
 

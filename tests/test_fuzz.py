@@ -136,6 +136,65 @@ def test_leading_comment_elision_matches_reparse():
         assert fast.html == slow.html, soup
 
 
+def _extract_without_shortcircuit(soup):
+    """Run extract with the guaranteed-fallback short-circuit disabled,
+    i.e. the literal NRT:313-326 two-pass algorithm."""
+    import nreadability_spark.core.transcoder as T
+
+    orig = T._document_text_upper_bound
+    T._document_text_upper_bound = lambda d: 1 << 60  # never below threshold
+    try:
+        return extract(soup)
+    finally:
+        T._document_text_upper_bound = orig
+
+
+@settings(max_examples=200, deadline=None)
+@given(_html_soup)
+def test_fallback_shortcircuit_matches_two_pass(soup):
+    """The guaranteed-fallback short-circuit (skip pass 1 when the
+    pristine document's total Text length already proves the <250-char
+    fallback must fire, NRT:313-326) must be observationally identical
+    to literally running both passes. The soup generator mostly emits
+    sub-threshold documents, which is exactly the regime the
+    short-circuit fires in."""
+    fast = extract(soup)
+    slow = _extract_without_shortcircuit(soup)
+    assert fast.content_html == slow.content_html
+    assert fast.content_text == slow.content_text
+    assert fast.html == slow.html
+    assert fast.title == slow.title
+    assert fast.extracted == slow.extracted
+    assert fast.spans == slow.spans
+
+
+def test_fallback_shortcircuit_threshold_boundary():
+    """Deterministic boundary cases around the 250-char threshold: text
+    totals just under, at, and over it, plus shapes where whitespace
+    collapse makes the *article* text shorter than the document total
+    (the bound must stay an upper bound, never an equality)."""
+    base = "word, and more words that score, "  # 33 chars
+    for n_rep in (6, 7, 8, 9, 16):  # totals straddle 250
+        body = base * n_rep
+        for soup in (
+            f"<html><body><p>{body}</p></body></html>",
+            # whitespace runs: document total > collapsed article text
+            f"<html><body><p>{body.replace(' ', '   ')}</p></body></html>",
+            # text split across siblings and a comment in the middle
+            f"<div><p>{body[: len(body) // 2]}</p><!--c--><p>{body[len(body) // 2 :]}</p></div>",
+            # unlikely-candidate class: pass 1 strips it, pass 2 keeps it
+            f"<html><body><div class='sidebar comment'>{body}</div></body></html>",
+            f"<html><head><title>T - t</title></head><body><p>{body}</p></body></html>",
+        ):
+            fast = extract(soup)
+            slow = _extract_without_shortcircuit(soup)
+            assert fast.content_html == slow.content_html, soup[:80]
+            assert fast.content_text == slow.content_text, soup[:80]
+            assert fast.html == slow.html, soup[:80]
+            assert fast.title == slow.title, soup[:80]
+            assert fast.spans == slow.spans, soup[:80]
+
+
 @settings(max_examples=150, deadline=None)
 @given(_mutation_soup)
 def test_reparse_elision_matches_always_reparse(soup):
