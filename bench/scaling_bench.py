@@ -190,7 +190,12 @@ def main():
         # two-executor control: local[16] alone on input B (input A
         # alone IS results[16]), then TWO concurrent local[16] JVMs on
         # the disjoint full-size inputs — 32 cores busy, but split into
-        # two executor-shaped processes
+        # two executor-shaped processes. Only meaningful when the
+        # level-16 anchor was measured this run.
+        if 16 not in results:
+            report = write_report(Path(args.out), results, None, levels, args.convs)
+            print(json.dumps(report))
+            return
         conc["b_alone"] = run_level(16, src_b, pyfiles)
         print(f"local[16] input B alone: {conc['b_alone']}", file=sys.stderr)
         pair = run_concurrent(16, [src, src_b], pyfiles)
@@ -221,6 +226,19 @@ def write_report(out_path, results, conc, levels, convs):
         for c, r in results.items()
     )
     eff_rows = "\n".join(f"| {k} | {v} |" for k, v in effs.items())
+
+    if conc is None or 16 not in results:
+        out_path.write_text(
+            "# BENCH — partial scaling run (levels subset; no control)\n\n"
+            "| level | turns | wall sec (best of 3, steady state) | turns/sec |\n"
+            "|---|---|---|---|\n"
+            + "\n".join(
+                f"| local[{c}] | {r['turns']} | {r['wall_sec']} | {r['turns_per_sec']} |"
+                for c, r in results.items()
+            )
+            + "\n"
+        )
+        return {"levels": {str(c): r for c, r in results.items()}, "efficiency": effs}
 
     a_alone = results[16]
     b_alone = conc["b_alone"]

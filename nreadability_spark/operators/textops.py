@@ -682,6 +682,320 @@ ORDER BY doc_id
 """
 
 
+# --- unigram log-probability scoring (CCNet-style model filter) --------
+
+LM_VOCAB_SIZE = 40  # top-V corpus tokens kept as the unigram model
+LM_MICRO = 1_000_000  # fixed-point grain: log10-prob in millionths
+
+
+def unigram_logprob(
+    spark: SparkSession, sf_dir: str, vocab_size: int = LM_VOCAB_SIZE
+) -> DataFrame:
+    """CCNet-style model-based quality scoring, as fit + apply: fit a
+    unigram LM over the corpus (top-V tokens by frequency, log10
+    probabilities), then score every document by its mean token
+    log-prob (the perplexity-filter signal; low = out-of-distribution).
+
+    Numeric determinism: per-token log-probs are rounded to MICRO
+    fixed-point (millionths, AS PART OF THE ALGORITHM — the k-means
+    precedent) and summed as BIGINTs, so the per-document sum is
+    independent of Spark's partition/summation order; the mean divides
+    two integers, identical on both engines. OOV tokens score a
+    0.5/total floor.
+
+    Scale shape (100 TB): the fit is one map-side-partial token count
+    whose top-V runs through TakeOrderedAndProject (never a global
+    sort); the model and the two scalar totals broadcast; scoring is
+    explode -> broadcast hash join -> one hash agg keyed by doc_id.
+    The final join back to ``documents`` carries only (doc_id, scores)
+    thanks to column pruning."""
+    docs = load_documents(spark, sf_dir)
+    toks = tx.exploded_tokens(docs).select("doc_id", "tok")
+
+    totals = toks.agg(F.count(F.lit(1)).cast("double").alias("total_toks"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(F.log10(F.col("cnt") / F.col("total_toks")) * LM_MICRO)
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    oov = totals.select(
+        F.round(F.log10(F.lit(0.5) / F.col("total_toks")) * LM_MICRO)
+        .cast("long")
+        .alias("oov_micro")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp_micro"), F.col("oov_micro")).alias("micro"),
+            F.col("logp_micro").isNull().cast("long").alias("is_oov"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_oov").alias("n_oov"),
+            F.sum("micro").alias("sum_logp_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("sum_logp_micro", F.lit(0)).cast("long").alias("sum_logp_micro"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.col("sum_logp_micro") / F.col("n_tokens") / F.lit(float(LM_MICRO)), 6
+                ),
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob_sql(vocab_size: int = LM_VOCAB_SIZE) -> str:
+    toks = tx.exploded_tokens_sql("documents")
+    return f"""
+WITH toks AS (SELECT doc_id, tok FROM ({toks}) t),
+totals AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+vocab AS (
+  SELECT tok,
+         CAST(round(log10(cnt / total_toks) * {LM_MICRO}) AS BIGINT) AS logp_micro
+  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT {vocab_size}) v
+  CROSS JOIN totals
+),
+oov AS (
+  SELECT CAST(round(log10(0.5 / total_toks) * {LM_MICRO}) AS BIGINT) AS oov_micro
+  FROM totals
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.logp_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(sum(coalesce(v.logp_micro, o.oov_micro)) AS BIGINT) AS sum_logp_micro
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN oov o
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(s.sum_logp_micro, 0) AS BIGINT) AS sum_logp_micro,
+       CASE WHEN coalesce(s.n_tokens, 0) > 0
+            THEN round(coalesce(s.sum_logp_micro, 0) / s.n_tokens / {LM_MICRO}.0, 6)
+            END AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- source mixture weights (data-mixture balancing) -------------------
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share and the uniform-target resampling weight
+    (the mixture-balancing step before training: weight each source so
+    the sampled mixture hits 1/n_sources token share). One hash agg to
+    ~n_sources rows plus a broadcast scalar total — trivially scalable;
+    the skew lives in the data, never in the plan."""
+    docs = load_documents(spark, sf_dir)
+    per_src = (
+        docs.select("source", tx.token_count(F.col("text")).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("sum_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("sum_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.col("sum_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+            F.round(
+                F.col("total_tokens") / (F.col("n_sources") * F.col("sum_tokens")), 6
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({tx.token_count_sql('text')}) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(sum(sum_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(*) AS DOUBLE) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, sum_tokens,
+       round(sum_tokens / total_tokens, 6) AS token_share,
+       round(total_tokens / (n_sources * sum_tokens), 6) AS sample_weight
+FROM per_src CROSS JOIN totals
+ORDER BY source
+"""
+
+
+# --- cross-document line-level dedup (boilerplate removal) -------------
+
+LINE_CHUNK = 10  # body tokens per rendered line
+LINE_BOILER_MIN_DOCS = 4  # doc-frequency threshold for boilerplate
+
+
+def _rendered_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, lines array<string>) — a deterministic page rendering of
+    the single-line synthetic documents: per-source nav header, a
+    global promo line, the body split into LINE_CHUNK-token lines, and
+    a per-source footer. The header/promo/footer recur across a
+    source's documents — exactly the boilerplate a crawl's rendered
+    text carries; body lines are document-unique word soup. The token
+    array is materialized BEFORE the chunking lambda (codegen does not
+    CSE inside higher-order functions)."""
+    toks = docs.select("doc_id", "source", tx.tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(LINE_CHUNK))).cast("int")
+    body = F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("toks"), i * LINE_CHUNK + 1, LINE_CHUNK), " "),
+        )
+    )
+    header = F.concat(F.lit("site "), F.col("source"), F.lit(" navigation home about contact"))
+    footer = F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved"))
+    promo = F.lit("subscribe to our newsletter updates")
+    return toks.select(
+        "doc_id",
+        F.concat(F.array(header, promo), body, F.array(footer)).alias("lines"),
+    )
+
+
+def line_dedup(
+    spark: SparkSession, sf_dir: str, min_docs: int = LINE_BOILER_MIN_DOCS
+) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document line deduplication: a line
+    whose distinct-document frequency reaches ``min_docs`` is
+    boilerplate (nav, promos, copyright footers) and is dropped from
+    every document; the cleaned text is rebuilt in line order.
+
+    Scale shape (100 TB): lines key by their 60-bit hash, never the
+    string. Doc-frequency is distinct (line_h, doc_id) pairs (map-side
+    partial dedup) then one count per line_h; the frequency table joins
+    back to the exploded lines co-partitioned on line_h — a shuffle
+    hash join whose probe side carries (doc_id, pos, line). The
+    promo-in-every-document key is the designed heavy hitter: its
+    frequency row is one (line_h, count) record, and AQE skew-join
+    splits the probe side if a single line_h partition outgrows the
+    rest. Rebuild is one hash agg keyed by doc_id with an in-array
+    sort — no global window."""
+    docs = load_documents(spark, sf_dir)
+    lines = _rendered_lines(docs)
+    e = lines.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("line_h", hashing.h60(F.col("line")))
+    freq = (
+        e.select("line_h", "doc_id")
+        .distinct()
+        .groupBy("line_h")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    tagged = e.join(freq, "line_h").withColumn(
+        "is_boiler", (F.col("doc_freq") >= F.lit(min_docs))
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("long")).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(F.col("is_boiler"), F.length("line")).otherwise(F.lit(0))
+            ).cast("long").alias("chars_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    F.col("is_boiler").alias("b"),
+                                    F.col("line").alias("line"),
+                                )
+                            )
+                        ),
+                        lambda x: ~x["b"],
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def line_dedup_sql(min_docs: int = LINE_BOILER_MIN_DOCS) -> str:
+    c = LINE_CHUNK
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {tx.tokens_sql('text')} AS toks FROM documents
+),
+rendered AS (
+  SELECT doc_id,
+         (['site ' || source || ' navigation home about contact',
+           'subscribe to our newsletter updates']
+          || CASE WHEN CAST(ceil(len(toks) / {c}.0) AS BIGINT) <= 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                         range(CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
+                         i -> array_to_string(toks[i * {c} + 1 : (i + 1) * {c}], ' '))
+             END
+          || ['copyright ' || source || ' all rights reserved']) AS lines
+  FROM toks
+),
+e AS (
+  SELECT doc_id, CAST(unnest(range(len(lines))) AS INT) AS pos,
+         unnest(lines) AS line
+  FROM rendered
+),
+eh AS (SELECT doc_id, pos, line, {hashing.h60_sql('line')} AS line_h FROM e),
+freq AS (
+  SELECT line_h, count(*) AS doc_freq
+  FROM (SELECT DISTINCT line_h, doc_id FROM eh) p
+  GROUP BY line_h
+),
+tagged AS (
+  SELECT eh.doc_id, eh.pos, eh.line, (f.doc_freq >= {min_docs}) AS is_boiler
+  FROM eh JOIN freq f ON eh.line_h = f.line_h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN is_boiler THEN length(line) ELSE 0 END) AS BIGINT)
+         AS chars_removed,
+       coalesce(
+         string_agg(CASE WHEN NOT is_boiler THEN line END, chr(10) ORDER BY pos),
+         '') AS clean_text
+FROM tagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -693,6 +1007,9 @@ QUERIES = {
     "text_repetition": repetition_scores,
     "text_pii_scan": pii_scan,
     "text_sequence_packing": sequence_packing,
+    "text_unigram_logprob": unigram_logprob,
+    "text_source_mixture": source_mixture,
+    "text_line_dedup": line_dedup,
 }
 
 ORACLES = {
@@ -706,4 +1023,7 @@ ORACLES = {
     "text_repetition": repetition_scores_sql(),
     "text_pii_scan": pii_scan_sql(),
     "text_sequence_packing": sequence_packing_sql(),
+    "text_unigram_logprob": unigram_logprob_sql(),
+    "text_source_mixture": SOURCE_MIXTURE_SQL,
+    "text_line_dedup": line_dedup_sql(),
 }

@@ -846,3 +846,107 @@ def test_sequence_packing_offsets_and_spans(spark, tmp_path):
         cum += r["n_tokens"]
     # doc 3 (20 tokens from offset 18) must span packs 1..2
     assert rows[3]["n_packs_spanned"] == 2
+
+
+# --- unigram LM scoring / source mixture / line dedup (round 3+) -------
+
+def _write_src_docs(spark, path, rows):
+    """rows: (doc_id, text, source)"""
+    spark.createDataFrame(
+        [(i, t, s) for i, t, s in rows], "doc_id: long, text: string, source: string"
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+
+
+def test_unigram_logprob_matches_oracle(spark, duck):
+    from nreadability_spark.operators import textops
+
+    assert_matches_oracle(
+        textops.unigram_logprob(spark, SF_DIR), textops.unigram_logprob_sql(), duck
+    )
+
+
+def test_unigram_logprob_ranks_oov_docs_lower(spark, tmp_path):
+    """A document made of corpus-frequent tokens must out-score a
+    document of singletons (all OOV below the top-V cut): the model
+    filter's whole point."""
+    from nreadability_spark.operators import textops
+
+    common = "alpha beta gamma delta " * 30           # dominates the corpus
+    rare = " ".join(f"zq{i}x" for i in range(40))      # 40 singletons
+    _write_docs(spark, str(tmp_path), [common, common, common, rare])
+    rows = {
+        r["doc_id"]: r
+        for r in textops.unigram_logprob(spark, str(tmp_path), vocab_size=4).collect()
+    }
+    assert rows[3]["n_oov"] == 40
+    assert rows[0]["n_oov"] == 0
+    assert rows[0]["avg_logp"] > rows[3]["avg_logp"]
+
+
+def test_source_mixture_matches_oracle(spark, duck):
+    from nreadability_spark.operators import textops
+
+    assert_matches_oracle(
+        textops.source_mixture(spark, SF_DIR), textops.SOURCE_MIXTURE_SQL, duck
+    )
+
+
+def test_source_mixture_weights_invert_share(spark, tmp_path):
+    """The heavy source gets the small resampling weight; shares sum to
+    1; each weight equals target_share / actual_share."""
+    from nreadability_spark.operators import textops
+
+    rows = [
+        (0, "a b c d e f g h " * 10, "big"),   # 80 tokens
+        (1, "a b c d e f g h " * 10, "big"),
+        (2, "x y z w", "small"),               # 4 tokens
+    ]
+    _write_src_docs(spark, str(tmp_path), rows)
+    out = {r["source"]: r for r in textops.source_mixture(spark, str(tmp_path)).collect()}
+    assert out["big"]["sum_tokens"] == 160 and out["small"]["sum_tokens"] == 4
+    assert abs(out["big"]["token_share"] + out["small"]["token_share"] - 1.0) < 1e-6
+    assert out["small"]["sample_weight"] > 1.0 > out["big"]["sample_weight"]
+    assert abs(out["big"]["sample_weight"] - 0.5 / out["big"]["token_share"]) < 1e-5
+
+
+def test_line_dedup_matches_oracle(spark, duck):
+    from nreadability_spark.operators import textops
+
+    assert_matches_oracle(
+        textops.line_dedup(spark, SF_DIR), textops.line_dedup_sql(), duck
+    )
+
+
+def test_line_dedup_removes_boilerplate_keeps_body(spark, tmp_path):
+    """Header/promo/footer recur across every doc of a source and must
+    be removed once doc-frequency reaches the threshold; unique body
+    lines survive verbatim, in order."""
+    from nreadability_spark.operators import textops
+
+    rows = [
+        (i, " ".join(f"body{i}w{j}" for j in range(25)), "siteA") for i in range(5)
+    ]
+    _write_src_docs(spark, str(tmp_path), rows)
+    out = {r["doc_id"]: r for r in textops.line_dedup(spark, str(tmp_path)).collect()}
+    for i in range(5):
+        r = out[i]
+        # 2 header/promo + 3 body chunks (25 toks / 10) + 1 footer
+        assert r["n_lines"] == 6
+        assert r["n_removed"] == 3          # header, promo, footer (freq 5 >= 4)
+        lines = r["clean_text"].split("\n")
+        assert len(lines) == 3
+        assert lines[0].startswith(f"body{i}w0")
+        assert "navigation" not in r["clean_text"]
+        assert "subscribe" not in r["clean_text"]
+        assert "copyright" not in r["clean_text"]
+
+
+def test_line_dedup_below_threshold_keeps_lines(spark, tmp_path):
+    """With fewer docs than the threshold, even the shared lines stay."""
+    from nreadability_spark.operators import textops
+
+    rows = [(i, " ".join(f"b{i}t{j}" for j in range(10)), "s") for i in range(2)]
+    _write_src_docs(spark, str(tmp_path), rows)
+    out = textops.line_dedup(spark, str(tmp_path)).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert all("navigation" in r["clean_text"] for r in out)
