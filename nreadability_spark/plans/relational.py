@@ -592,6 +592,52 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+APPROX_DISTINCT_RSD = 0.05
+
+
+def approx_distinct_customers(
+    spark: SparkSession, sf_dir: str, rsd: float = APPROX_DISTINCT_RSD
+) -> DataFrame:
+    """``approx_count_distinct`` (HyperLogLog++ — a mergeable fixed-size
+    sketch, map-side partials, no distinct-expand shuffle) with its
+    error guarantee ASSERTED against the exact cardinality: per order
+    priority, the estimate of distinct ordering customers must land
+    within 3 relative standard deviations of the true count. Output is
+    the exact count plus the pass flag — the estimate itself is
+    implementation-defined (sketch register layout / merge order), so
+    the oracle pins the exact value and the guarantee (all-1s). This is
+    the 100 TB swap for exact countDistinct, whose expand+re-aggregate
+    doubles the shuffle volume per distinct column."""
+    od = _t(spark, sf_dir, "orders")
+    margin = 3.0 * rsd
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.approx_count_distinct("o_custkey", rsd).alias("est"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            (
+                F.abs(F.col("est") - F.col("n_customers"))
+                <= F.lit(margin) * F.col("n_customers")
+            )
+            .cast("int")
+            .alias("ok_est"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+APPROX_DISTINCT_CUSTOMERS_SQL = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(1 AS INT) AS ok_est
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --- JSON scalar functions over event props ----------------------------
 
 def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +691,7 @@ QUERIES = {
     "rel_returnflag_pivot": returnflag_pivot,
     "rel_price_quantiles": order_price_quantiles,
     "rel_price_quantiles_approx": order_price_quantiles_approx,
+    "rel_approx_distinct": approx_distinct_customers,
     "rel_event_props_json": event_props_json,
 }
 
@@ -665,5 +712,6 @@ ORACLES = {
     "rel_returnflag_pivot": RETURNFLAG_PIVOT_SQL,
     "rel_price_quantiles": ORDER_PRICE_QUANTILES_SQL,
     "rel_price_quantiles_approx": ORDER_PRICE_QUANTILES_APPROX_SQL,
+    "rel_approx_distinct": APPROX_DISTINCT_CUSTOMERS_SQL,
     "rel_event_props_json": EVENT_PROPS_JSON_SQL,
 }

@@ -950,3 +950,13 @@ def test_line_dedup_below_threshold_keeps_lines(spark, tmp_path):
     out = textops.line_dedup(spark, str(tmp_path)).collect()
     assert all(r["n_removed"] == 0 for r in out)
     assert all("navigation" in r["clean_text"] for r in out)
+
+
+def test_approx_distinct_matches_oracle(spark, duck):
+    from nreadability_spark.plans import relational
+
+    assert_matches_oracle(
+        relational.approx_distinct_customers(spark, SF_DIR),
+        relational.APPROX_DISTINCT_CUSTOMERS_SQL,
+        duck,
+    )
