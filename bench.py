@@ -40,7 +40,11 @@ HEADLINE = [
     "sim_centroid_fit",
     "text_bottomk_containment",
     "text_sequence_packing",
+    "text_unigram_logprob",
+    "text_line_dedup",
+    "text_source_mixture",
     "rel_price_quantiles_approx",
+    "rel_approx_distinct",
     "pipeline_clean_corpus",
     "pipeline_training_ready",
     "extract_doc_pages",
