@@ -960,3 +960,32 @@ def test_approx_distinct_matches_oracle(spark, duck):
         relational.APPROX_DISTINCT_CUSTOMERS_SQL,
         duck,
     )
+
+
+def test_unigram_logprob_plan_shape(spark):
+    """Scale contracts: the top-V vocab cut must be
+    TakeOrderedAndProject (per-partition heaps, never a global sort of
+    the vocabulary) and the scoring join must broadcast the model."""
+    from nreadability_spark.operators import textops
+
+    plan = (
+        textops.unigram_logprob(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_plan_shape(spark):
+    """Scale contracts: no global window and no cartesian product — the
+    rebuild is a hash agg, the frequency join is keyed."""
+    from nreadability_spark.operators import textops
+
+    plan = (
+        textops.line_dedup(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
