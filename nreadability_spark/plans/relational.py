@@ -674,6 +674,145 @@ ORDER BY event_type
 """
 
 
+# --- correlated scalar subquery (TPC-H Q17 shape) ----------------------
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue from line items whose quantity is below 20% of the
+    per-part average — TPC-H Q17's correlated-scalar-subquery shape,
+    deliberately written as SQL so Catalyst's decorrelation does the
+    rewrite: the optimizer turns the per-row subquery into ONE
+    per-part aggregate joined back on ``l_partkey`` (a plan-shape test
+    asserts no ScalarSubquery node survives). At 100 TB this is the
+    difference between one extra shuffle and a per-row re-scan of
+    lineitem. The avg of integer quantities is exact in binary floating
+    point (integer sums are), so the 0.2*avg threshold is
+    engine-portable with no rounding grain."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("nrs_q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("nrs_q17_part")
+    return spark.sql("""
+        SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM nrs_q17_lineitem l JOIN nrs_q17_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM nrs_q17_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand ORDER BY p.p_brand
+    """)
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT p.p_brand, round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
+# --- EXISTS with a mixed equi+range condition (TPC-H Q4 shape) ---------
+
+DELAYED_ORDER_LAG_DAYS = 1500
+
+def delayed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line item shipped more than
+    ``DELAYED_ORDER_LAG_DAYS`` days after the order date, counted per
+    priority — TPC-H Q4's EXISTS shape. The join condition mixes an
+    equi key with a range predicate: Spark extracts ``l_orderkey =
+    o_orderkey`` as the shuffle key and evaluates the date comparison
+    as a residual filter inside the LeftSemi join — one co-partitioned
+    shuffle, no row explosion (semi join emits each order at most
+    once, so a 7-line order costs the same as a 1-line order)."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (od.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {DELAYED_ORDER_LAG_DAYS} DAYS")
+    )
+    return (
+        od.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_delayed"))
+        .orderBy("o_orderpriority")
+    )
+
+
+DELAYED_ORDERS_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_delayed
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {DELAYED_ORDER_LAG_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- range join via interval binning -----------------------------------
+
+RANGE_JOIN_WINDOW_S = 3600  # follower window length == bin width
+RANGE_JOIN_SPIKE_VALUE = 200.0
+
+def range_join_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): for each high-value "spike"
+    event, count and sum all events in the following hour. A naive
+    ``e.ts BETWEEN s.ts AND s.ts + 1h`` join has no equi conjunct, so
+    Spark would pick BroadcastNestedLoopJoin — O(spikes × events)
+    comparisons, a non-starter at 100 TB. The scale path bins time
+    into window-length buckets: each event belongs to exactly one bin,
+    each spike interval covers at most two, so exploding the spike
+    side to its covered bins turns the range join into an equi join on
+    ``bin`` with the precise predicate as a residual — every
+    qualifying pair meets exactly once (the event's single bin), and
+    the comparison volume drops to pairs sharing an hour. The bins are
+    engine-internal (the oracle is the naive BETWEEN join), so
+    session-timezone epoch arithmetic never leaks into the compared
+    result. A plan-shape test asserts no nested-loop join survives."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    w = RANGE_JOIN_WINDOW_S
+    followers = ev.select(
+        F.col("event_id").alias("f_id"),
+        F.col("ts").alias("f_ts"),
+        F.col("value").alias("f_value"),
+        (F.floor(F.unix_timestamp("ts") / w)).alias("bin"),
+    )
+    spikes = (
+        ev.where(F.col("value") > RANGE_JOIN_SPIKE_VALUE)
+        .select(
+            "event_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp("ts") / w),
+                    F.floor((F.unix_timestamp("ts") + w) / w),
+                )
+            ).alias("bin"),
+        )
+    )
+    cond = (
+        (spikes.bin == followers.bin)
+        & (followers.f_ts > spikes.ts)
+        & (followers.f_ts <= spikes.ts + F.expr(f"INTERVAL {w} SECONDS"))
+    )
+    return (
+        spikes.join(followers, cond, "left")
+        .groupBy("event_id")
+        .agg(
+            F.count("f_id").alias("n_follow"),
+            F.round(F.coalesce(F.sum("f_value"), F.lit(0.0)), 2).alias("follow_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_FOLLOWERS_SQL = f"""
+SELECT s.event_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_follow,
+       round(coalesce(sum(e.value), 0), 2) AS follow_value
+FROM events s
+LEFT JOIN events e
+  ON e.ts > s.ts AND e.ts <= s.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+WHERE s.value > {RANGE_JOIN_SPIKE_VALUE}
+GROUP BY s.event_id ORDER BY s.event_id
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_revenue_by_nation": revenue_by_nation,
@@ -693,6 +832,9 @@ QUERIES = {
     "rel_price_quantiles_approx": order_price_quantiles_approx,
     "rel_approx_distinct": approx_distinct_customers,
     "rel_event_props_json": event_props_json,
+    "rel_small_qty_revenue": small_qty_revenue,
+    "rel_delayed_orders": delayed_orders,
+    "rel_range_join_followers": range_join_followers,
 }
 
 ORACLES = {
@@ -714,4 +856,7 @@ ORACLES = {
     "rel_price_quantiles_approx": ORDER_PRICE_QUANTILES_APPROX_SQL,
     "rel_approx_distinct": APPROX_DISTINCT_CUSTOMERS_SQL,
     "rel_event_props_json": EVENT_PROPS_JSON_SQL,
+    "rel_small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+    "rel_delayed_orders": DELAYED_ORDERS_SQL,
+    "rel_range_join_followers": RANGE_JOIN_FOLLOWERS_SQL,
 }

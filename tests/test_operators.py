@@ -201,6 +201,44 @@ def test_revenue_join_broadcasts_dimensions(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_small_qty_revenue_decorrelated(spark):
+    """Catalyst must rewrite the Q17-style correlated scalar subquery
+    into a per-part aggregate joined back — no per-row subquery node
+    may survive into the physical plan (at 100 TB a surviving
+    ScalarSubquery means a lineitem re-scan per row)."""
+    from nreadability_spark.plans import relational
+
+    df = relational.small_qty_revenue(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan and "subquery" not in plan
+    # decorrelated form: the per-part average shows up as an aggregate
+    # of l_quantity feeding a join
+    assert "avg(" in plan
+
+
+def test_delayed_orders_semi_join_on_equi_key(spark):
+    """The mixed equi+range EXISTS must become a co-partitioned
+    LeftSemi join on the extracted equi key with the date comparison as
+    a residual — never a nested-loop join."""
+    from nreadability_spark.plans import relational
+
+    df = relational.delayed_orders(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_binning_avoids_nested_loop(spark):
+    """The binned interval join must compile to an equi join on the
+    bin column (hash-partitionable) — the naive no-equi-key range join
+    would be BroadcastNestedLoopJoin, O(spikes x events) at scale."""
+    from nreadability_spark.plans import relational
+
+    df = relational.range_join_followers(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_extraction_prefilter_reaches_scan(spark, tmp_path):
     """The null/empty-text prefilter must be pushed into the parquet
     scan, not evaluated after the Python stage."""
