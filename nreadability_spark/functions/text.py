@@ -135,6 +135,49 @@ def hashed_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def positional_shingle_hashes(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """POSITIONAL 60-bit shingle hashes per document: (id, pos, sh60),
+    one row per token position (NOT distinct — position identity is the
+    point). The inverted-index posting construction for span-level
+    dedup: hashes are computed inside the map-side array transform
+    (same lambda-CSE-safe materialized-token pattern as
+    ``hashed_shingles``) and ``posexplode`` recovers the position as
+    the array index. Zero shuffles."""
+    from nreadability_spark.functions import hashing
+
+    def hash_at(i):
+        return hashing.h60(
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)])
+        )
+
+    positions = F.sequence(F.lit(0), F.size("toks") - n)
+    hashes = F.transform(positions, hash_at)
+    return _tokenized(df, n, id_col, text_col).select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "sh60")
+    )
+
+
+def positional_shingle_hashes_sql(table: str, n: int = 3, text_expr: str = "text",
+                                  id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``positional_shingle_hashes``: lead()-window
+    shingle construction keyed by token position."""
+    from nreadability_spark.functions import hashing
+
+    toks = exploded_tokens_sql(table, text_expr, id_col)
+    leads = ["tok"] + [
+        f"lead(tok, {i}) OVER (PARTITION BY {id_col} ORDER BY pos)" for i in range(1, n)
+    ]
+    lead_cols = ", ".join(f"{e} AS t{j}" for j, e in enumerate(leads))
+    non_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n))
+    concat = " || ' ' || ".join(f"t{j}" for j in range(n))
+    return (
+        f"SELECT {id_col}, pos, {hashing.h60_sql(f'({concat})')} AS sh60 "
+        f"FROM (SELECT {id_col}, pos, {lead_cols} FROM ({toks}) base) leads "
+        f"WHERE {non_null}"
+    )
+
+
 def hashed_shingles_sql(table: str, n: int = 3, text_expr: str = "text",
                         id_col: str = "doc_id") -> str:
     from nreadability_spark.functions import hashing

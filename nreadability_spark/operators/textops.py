@@ -996,6 +996,116 @@ ORDER BY doc_id
 """
 
 
+# --- span-level duplicated-substring detection -------------------------
+
+SPAN_NGRAM = 8  # span grain: a position is duplicated if its 8-gram recurs
+
+
+def span_dedup(spark: SparkSession, sf_dir: str, n: int = SPAN_NGRAM) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection across documents (the
+    span-level counterpart of document dedup, after Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array pass re-expressed as a distributed inverted index):
+    a token position is *duplicated* when the n-gram starting there
+    occurs in at least one OTHER document; overlapping duplicated
+    n-grams merge into spans. Per document: total tokens, tokens
+    covered by duplicated spans, merged-span count, duplicated
+    fraction.
+
+    Scale shape (100 TB): one map-side positional posting build (only
+    (doc_id, pos, 8-byte hash) rows ever shuffle — never shingle
+    strings), ONE shuffle by hash where a window min/max over doc_id
+    marks cross-document recurrence (no groupBy + join-back, so the
+    postings are scanned once and hot boilerplate hashes cost one
+    skewed partition, not a fan-out), one shuffle by doc_id for the
+    interval merge (lag window), whose hash partitioning the final
+    per-doc aggregate reuses exchange-free. Span coverage is computed
+    from position gaps — ``min(n, pos - prev_pos)`` — so memory per
+    document is O(1) regardless of how much of it is duplicated."""
+    return span_dedup_frame(load_documents(spark, sf_dir), n=n)
+
+
+def span_dedup_frame(docs: DataFrame, n: int = SPAN_NGRAM) -> DataFrame:
+    postings = tx.positional_shingle_hashes(docs, n=n)
+    # cross-document recurrence: the hash partition contains >1 distinct
+    # doc iff min(doc_id) != max(doc_id) over the hash window
+    wh = Window.partitionBy("sh60")
+    marked = (
+        postings.withColumn("d_min", F.min("doc_id").over(wh))
+        .withColumn("d_max", F.max("doc_id").over(wh))
+        .where(F.col("d_min") != F.col("d_max"))
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    covered = F.when(F.col("prev").isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), F.col("pos") - F.col("prev"))
+    )
+    span_start = F.when(
+        F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n), 1
+    ).otherwise(0)
+    per_doc = (
+        marked.withColumn("prev", F.lag("pos").over(wd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(covered).alias("dup_tokens"),
+            F.sum(span_start).alias("n_dup_spans"),
+        )
+    )
+    totals = docs.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def span_dedup_sql(n: int = SPAN_NGRAM) -> str:
+    return f"""
+WITH posting AS (
+  {tx.positional_shingle_hashes_sql('documents', n)}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY sh60) AS d_min,
+           max(doc_id) OVER (PARTITION BY sh60) AS d_max
+    FROM posting
+  ) m WHERE d_min != d_max
+),
+gaps AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM marked
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN prev IS NULL THEN {n}
+                  ELSE least({n}, pos - prev) END) AS dup_tokens,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+           AS n_dup_spans
+  FROM gaps GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len({tx.tokens_sql('d.text')}) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(coalesce(p.dup_tokens, 0)
+             / greatest(len({tx.tokens_sql('d.text')}), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -1010,6 +1120,7 @@ QUERIES = {
     "text_unigram_logprob": unigram_logprob,
     "text_source_mixture": source_mixture,
     "text_line_dedup": line_dedup,
+    "text_span_dedup": span_dedup,
 }
 
 ORACLES = {
@@ -1026,4 +1137,5 @@ ORACLES = {
     "text_unigram_logprob": unigram_logprob_sql(),
     "text_source_mixture": SOURCE_MIXTURE_SQL,
     "text_line_dedup": line_dedup_sql(),
+    "text_span_dedup": span_dedup_sql(),
 }

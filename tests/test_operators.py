@@ -191,6 +191,38 @@ def test_lang_id_predicts_only_known_labels(spark):
     assert all(r["pred_lang"] in allowed for r in rows)
 
 
+def test_span_dedup_planted_spans(spark):
+    """Planted shared runs: coverage is the UNION of overlapping
+    duplicated 8-grams, touching runs merge into one span, disjoint
+    runs stay two."""
+    from nreadability_spark.operators.textops import span_dedup_frame
+
+    run1 = " ".join(f"s{i}" for i in range(10))
+    run2 = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            # A: run1 at token positions 10..19 of 30
+            (0, " ".join(f"a{i}" for i in range(10)) + " " + run1 + " "
+             + " ".join(f"a{i}" for i in range(10, 20))),
+            # B: both runs, adjacent (positions 5..14 and 15..24 of 30)
+            (1, " ".join(f"b{i}" for i in range(5)) + " " + run1 + " " + run2
+             + " " + " ".join(f"b{i}" for i in range(5, 10))),
+            # C: both runs, separated by 10 unique tokens -> two spans
+            (2, run1 + " " + " ".join(f"c{i}" for i in range(10)) + " " + run2),
+            # D: no duplicated content
+            (3, " ".join(f"d{i}" for i in range(30))),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup_frame(docs, n=8).collect()}
+    assert (rows[0]["dup_tokens"], rows[0]["n_dup_spans"]) == (10, 1)
+    # touching runs merge: 20 covered tokens, ONE span
+    assert (rows[1]["dup_tokens"], rows[1]["n_dup_spans"]) == (20, 1)
+    assert (rows[2]["dup_tokens"], rows[2]["n_dup_spans"]) == (20, 2)
+    assert (rows[3]["dup_tokens"], rows[3]["n_dup_spans"]) == (0, 0)
+    assert rows[3]["dup_frac"] == 0.0 and rows[0]["n_tokens"] == 30
+
+
 # --- plan-shape assertions (scale contracts) ---------------------------
 
 def test_revenue_join_broadcasts_dimensions(spark):
