@@ -223,6 +223,30 @@ def test_span_dedup_planted_spans(spark):
     assert rows[3]["dup_frac"] == 0.0 and rows[0]["n_tokens"] == 30
 
 
+def test_bpe_greedy_overlap_and_restart(spark):
+    """'aaaa' under merge (a,a) folds left-to-right to [aa, aa] (count
+    3 adjacent pairs per occurrence BEFORE merging, 2 non-overlapping
+    merges AFTER) — the reference greedy semantics."""
+    from nreadability_spark.operators.bpe import fit_merges, word_table
+
+    docs = spark.createDataFrame([(0, "aaaa aaaa b")], "doc_id: long, text: string")
+    merges, words = fit_merges(word_table(docs), rounds=2)
+    assert merges == [(0, "a", "a", "aa", 6), (1, "aa", "aa", "aaaa", 2)]
+    syms = {r["word"]: r["syms"] for r in words.collect()}
+    assert syms["aaaa"] == ["aaaa"] and syms["b"] == ["b"]
+
+
+def test_bpe_merge_counts_non_increasing(spark):
+    """Classic BPE invariant: the winning pair count never increases
+    round over round (every post-merge pair occurrence maps to a
+    pre-merge occurrence of a destroyed pair)."""
+    from nreadability_spark.operators.bpe import bpe_fit
+
+    counts = [r["pair_count"] for r in bpe_fit(spark, SF_DIR, rounds=6).collect()]
+    assert len(counts) == 6
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
 # --- plan-shape assertions (scale contracts) ---------------------------
 
 def test_revenue_join_broadcasts_dimensions(spark):
