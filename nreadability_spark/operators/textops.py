@@ -1106,6 +1106,161 @@ ORDER BY d.doc_id
 """
 
 
+# --- TF-IDF keyword extraction ------------------------------------------
+
+TFIDF_TOP_K = 3
+TFIDF_MICRO = 1_000_000  # fixed-point grain for the idf (ln) factor
+
+
+def tfidf_keywords(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (smoothed idf
+    = ln((N+1)/(df+1)) + 1, sklearn's convention). The transcendental
+    idf factor is rounded to MICRO fixed-point as part of the algorithm
+    (the unigram-LM precedent), so the score is an exact BIGINT
+    ``tf * idf_micro`` and the per-document ranking — including
+    tie-breaks (score desc, term asc) — is identical on any engine and
+    any partitioning.
+
+    Scale shape (100 TB): term frequencies are one hash aggregate keyed
+    by (doc_id, term); document frequencies aggregate the SAME
+    pre-aggregated (doc_id, term) rows (never the raw token stream
+    twice); the doc-count is a broadcast scalar and the idf table joins
+    by term. The final top-k is a bounded per-document window — skew-
+    safe because a document's term list is capped by its own length."""
+    return tfidf_keywords_frame(load_documents(spark, sf_dir), k=k)
+
+
+def tfidf_keywords_frame(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    tf = (
+        tx.exploded_tokens(docs)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df_docs",
+            F.round(
+                (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1)
+                * TFIDF_MICRO
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df_docs",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df_docs", "score_micro")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_keywords_sql(k: int = TFIDF_TOP_K) -> str:
+    toks = tx.exploded_tokens_sql("documents")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({toks}) t GROUP BY doc_id, tok
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs,
+         CAST(round((ln((nd.n_docs + 1) / (count(*) + 1)) + 1) * {TFIDF_MICRO})
+              AS BIGINT) AS idf_micro
+  FROM tf, nd GROUP BY term, nd.n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.df_docs,
+         tf.tf * idf.idf_micro AS score_micro
+  FROM tf JOIN idf ON tf.term = idf.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df_docs, score_micro
+FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
+"""
+
+
+# --- deterministic stratified sampling ----------------------------------
+
+SAMPLE_PER_STRATUM = 10
+SAMPLE_SALTS = 8
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, k: int = SAMPLE_PER_STRATUM,
+    salts: int = SAMPLE_SALTS,
+) -> DataFrame:
+    """Deterministic uniform sample of k documents per source stratum:
+    rows are ranked by a content-independent hash of the doc id (a
+    fixed pseudo-random permutation, reproducible across runs and
+    engines) and the first k per stratum win.
+
+    Skew-proof two-phase top-k (the sequence-packing pattern): phase 1
+    ranks within (stratum, salt) shards — each shard's window sees at
+    most 1/S of a hot stratum — and keeps k per shard; phase 2 ranks
+    the <= S*k survivors per stratum. Exact: the global top-k by hash
+    order is always contained in the union of per-shard top-k. The
+    oracle is the single-phase window, which must produce the identical
+    set."""
+    docs = load_documents(spark, sf_dir)
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        hashing.h60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))).alias(
+            "samp_h"
+        ),
+        F.pmod(F.col("doc_id"), F.lit(salts)).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("samp_h", "doc_id")
+    survivors = (
+        ranked.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("samp_h", "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "source", F.col("rank").cast("long").alias("rank"))
+        .orderBy("source", "rank")
+    )
+
+
+def stratified_sample_sql(k: int = SAMPLE_PER_STRATUM) -> str:
+    h = hashing.h60_sql("('sample:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, source, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h}, doc_id) AS rank
+  FROM documents
+) r WHERE rank <= {k}
+ORDER BY source, rank
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -1121,6 +1276,8 @@ QUERIES = {
     "text_source_mixture": source_mixture,
     "text_line_dedup": line_dedup,
     "text_span_dedup": span_dedup,
+    "text_tfidf_keywords": tfidf_keywords,
+    "text_stratified_sample": stratified_sample,
 }
 
 ORACLES = {
@@ -1138,4 +1295,6 @@ ORACLES = {
     "text_source_mixture": SOURCE_MIXTURE_SQL,
     "text_line_dedup": line_dedup_sql(),
     "text_span_dedup": span_dedup_sql(),
+    "text_tfidf_keywords": tfidf_keywords_sql(),
+    "text_stratified_sample": stratified_sample_sql(),
 }

@@ -223,6 +223,22 @@ def test_span_dedup_planted_spans(spark):
     assert rows[3]["dup_frac"] == 0.0 and rows[0]["n_tokens"] == 30
 
 
+def test_tfidf_top_term_is_the_distinctive_one(spark):
+    """A term frequent in one doc but absent elsewhere must outrank
+    corpus-wide terms; ties break by term asc."""
+    from nreadability_spark.operators.textops import tfidf_keywords_frame
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "banana durian")],
+        "doc_id: long, text: string",
+    )
+    rows = tfidf_keywords_frame(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in rows}
+    assert top == {0: "apple", 1: "cherry", 2: "durian"}
+    df_docs = {r["doc_id"]: r["df_docs"] for r in rows}
+    assert df_docs[0] == 1
+
+
 def test_bpe_greedy_overlap_and_restart(spark):
     """'aaaa' under merge (a,a) folds left-to-right to [aa, aa] (count
     3 adjacent pairs per occurrence BEFORE merging, 2 non-overlapping
