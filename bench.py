@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_simhash",
     "sim_knn_brute_force",
     "sim_knn_ivf",
+    "sim_knn_pq",
     "multimodal_decode_meta",
     "multimodal_audio_meta",
     "rel_event_sessions",
@@ -45,6 +46,11 @@ HEADLINE = [
     "text_source_mixture",
     "rel_price_quantiles_approx",
     "rel_approx_distinct",
+    "rel_small_qty_revenue",
+    "rel_range_join_followers",
+    "text_span_dedup",
+    "text_tfidf_keywords",
+    "text_bpe_encode",
     "pipeline_clean_corpus",
     "pipeline_training_ready",
     "extract_doc_pages",

@@ -223,6 +223,38 @@ def test_span_dedup_planted_spans(spark):
     assert rows[3]["dup_frac"] == 0.0 and rows[0]["n_tokens"] == 30
 
 
+def test_pq_codes_shape_and_bounds(spark):
+    """Every vector gets exactly PQ_M codes, each in [0, PQ_K), with a
+    non-negative reconstruction residual."""
+    from nreadability_spark.operators import similarity as S
+
+    rows = S.pq_codes(spark, SF_DIR).collect()
+    per_vec = {}
+    for r in rows:
+        assert 0 <= r["code"] < S.PQ_K and r["err"] >= 0.0
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
+    assert all(subs == set(range(S.PQ_M)) for subs in per_vec.values())
+
+
+def test_pq_adc_top10_beats_corpus_mean_distance(spark, duck):
+    """Isotropic random vectors concentrate distances, so strict
+    recall@10 is noisy — the robust property is that ADC's top-10 are
+    substantially closer (exact L2) than the average vector."""
+    from nreadability_spark.operators import similarity as S
+
+    ids = [r["vec_id"] for r in S.knn_pq_adc(spark, SF_DIR, k=10).collect()]
+    l2 = "(" + " + ".join(
+        f"(e.emb[{i}] - q.emb[{i}])*(e.emb[{i}] - q.emb[{i}])" for i in range(1, S.DIM + 1)
+    ) + ")"
+    adc_mean, all_mean = duck.sql(f"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT emb FROM base WHERE vec_id = {S.QUERY_VEC_ID})
+      SELECT avg(CASE WHEN e.vec_id IN ({','.join(map(str, ids))}) THEN {l2} END),
+             avg({l2})
+      FROM base e, q WHERE e.vec_id != {S.QUERY_VEC_ID}""").fetchone()
+    assert adc_mean < 0.9 * all_mean
+
+
 def test_tfidf_top_term_is_the_distinctive_one(spark):
     """A term frequent in one doc but absent elsewhere must outrank
     corpus-wide terms; ties break by term asc."""
