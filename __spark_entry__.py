@@ -217,10 +217,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries():
-    from nreadability_spark.operators import bpe, dedup, multimodal, similarity, stitch, textops
+    from nreadability_spark.operators import (
+        bpe, classifier, dedup, multimodal, similarity, stitch, textops,
+    )
     from nreadability_spark.plans import pipeline, relational
 
-    modules = (relational, textops, bpe, dedup, similarity, multimodal, stitch, pipeline)
+    modules = (
+        relational, textops, bpe, classifier, dedup, similarity, multimodal,
+        stitch, pipeline,
+    )
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

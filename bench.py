@@ -51,6 +51,8 @@ HEADLINE = [
     "text_span_dedup",
     "text_tfidf_keywords",
     "text_bpe_encode",
+    "text_quality_classifier_apply",
+    "rel_rolling_revenue",
     "pipeline_clean_corpus",
     "pipeline_training_ready",
     "extract_doc_pages",

@@ -813,6 +813,50 @@ GROUP BY s.event_id ORDER BY s.event_id
 """
 
 
+# --- RANGE window frame (rolling interval aggregate) --------------------
+
+ROLLING_WINDOW_DAYS = 30
+
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 30-day order revenue — the RANGE window
+    frame shape (value-based bounds, peers included), distinct from
+    every ROWS/unbounded frame elsewhere in the pack. Spark's
+    ``rangeBetween`` needs a numeric ordering key, so the frame runs
+    over epoch seconds; frame membership depends only on timestamp
+    DIFFERENCES, so the session timezone cancels and the oracle can use
+    a native INTERVAL frame. One shuffle (hash by customer), frames
+    computed in a single sorted pass per partition — no self-join
+    (the naive rolling-sum-as-join reads the fact table twice and
+    explodes on dense customers)."""
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-ROLLING_WINDOW_DAYS * 86400, 0)
+    )
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_rev"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ROLLING_REVENUE_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS rolling_rev,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL {ROLLING_WINDOW_DAYS} DAY PRECEDING
+                   AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_revenue_by_nation": revenue_by_nation,
@@ -835,6 +879,7 @@ QUERIES = {
     "rel_small_qty_revenue": small_qty_revenue,
     "rel_delayed_orders": delayed_orders,
     "rel_range_join_followers": range_join_followers,
+    "rel_rolling_revenue": rolling_revenue,
 }
 
 ORACLES = {
@@ -859,4 +904,5 @@ ORACLES = {
     "rel_small_qty_revenue": SMALL_QTY_REVENUE_SQL,
     "rel_delayed_orders": DELAYED_ORDERS_SQL,
     "rel_range_join_followers": RANGE_JOIN_FOLLOWERS_SQL,
+    "rel_rolling_revenue": ROLLING_REVENUE_SQL,
 }

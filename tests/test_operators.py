@@ -223,6 +223,22 @@ def test_span_dedup_planted_spans(spark):
     assert rows[3]["dup_frac"] == 0.0 and rows[0]["n_tokens"] == 30
 
 
+def test_quality_classifier_learns_planted_signal(spark):
+    """Full-batch GD must separate the planted prose/spam tails far
+    above the 2/3 base rate (measured 100% at sf0.001/0.01)."""
+    from nreadability_spark.operators.classifier import quality_classifier_apply
+
+    rows = quality_classifier_apply(spark, SF_DIR).collect()
+    acc = sum(r["pred"] == r["y"] for r in rows) / len(rows)
+    assert acc > 0.95
+    # the stopword-ratio weight must carry the signal (positive, largest)
+    from nreadability_spark.operators.classifier import quality_classifier_fit
+
+    w = {r["feature"]: r["weight"]
+         for r in quality_classifier_fit(spark, SF_DIR).collect() if r["iter"] == 12}
+    assert w[1] > 0 and w[1] == max(abs(v) for v in w.values())
+
+
 def test_pq_codes_shape_and_bounds(spark):
     """Every vector gets exactly PQ_M codes, each in [0, PQ_K), with a
     non-negative reconstruction residual."""
