@@ -223,6 +223,51 @@ def test_span_dedup_planted_spans(spark):
     assert rows[3]["dup_frac"] == 0.0 and rows[0]["n_tokens"] == 30
 
 
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_span_dedup_matches_bruteforce_on_random_corpora(spark, seed):
+    """Randomized cross-check against an independent O(n^2) in-memory
+    reference: tiny alphabet so cross-document n-gram collisions are
+    dense, exercising overlap merges and touching spans."""
+    import random
+
+    from nreadability_spark.operators.textops import span_dedup_frame
+
+    rng = random.Random(seed)
+    n = 3
+    docs = [
+        (d, " ".join(rng.choice("a b c d".split()) for _ in range(rng.randint(0, 14))))
+        for d in range(8)
+    ]
+    toks = {d: t.split() for d, t in docs}
+    grams: dict = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            grams.setdefault(tuple(tk[i : i + n]), set()).add(d)
+    expected = {}
+    for d, tk in toks.items():
+        covered: set = set()
+        for i in range(len(tk) - n + 1):
+            if grams[tuple(tk[i : i + n])] - {d}:
+                covered.update(range(i, i + n))
+        spans, prev = 0, None
+        for c in sorted(covered):
+            spans += prev is None or c > prev + 1
+            prev = c
+        expected[d] = (len(tk), len(covered), spans)
+    sdf = span_dedup_frame(
+        spark.createDataFrame(docs, "doc_id: long, text: string"), n=n
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_dup_spans"])
+        for r in sdf.collect()
+    }
+    # empty docs tokenize to [] and surface with n_tokens=0
+    for d, tk in toks.items():
+        if not tk:
+            expected[d] = (0, 0, 0)
+    assert got == expected
+
+
 def test_quality_classifier_learns_planted_signal(spark):
     """Full-batch GD must separate the planted prose/spam tails far
     above the 2/3 base rate (measured 100% at sf0.001/0.01)."""
