@@ -122,15 +122,19 @@ def main():
     times = {}
     steady = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        # build INSIDE the timed region: for most queries construction
+        # is pure plan assembly (ms), but the iterative fits that
+        # collect per round (BPE merges, logistic GD) do their cluster
+        # work at build time — timing only the final plan would hide
+        # the fit (the lazy fits — k-means, PQ — were always timed)
         t0 = time.monotonic()
-        _noop_run(df)
+        _noop_run(qs[name](spark, sf_dir))
         times[name] = round(time.monotonic() - t0, 3)
-        # second run of the same plan: Janino codegen and Python-worker
-        # warmup paid, shuffle files possibly reused — the steady-state
-        # cost a long-running job sees
+        # second build+run: Janino codegen and Python-worker warmup
+        # paid, shuffle files possibly reused — the steady-state cost a
+        # long-running job sees (fit queries legitimately refit)
         t0 = time.monotonic()
-        _noop_run(df)
+        _noop_run(qs[name](spark, sf_dir))
         steady[name] = round(time.monotonic() - t0, 3)
     times["extract_transcripts"] = round(extract_sec, 3)
 
