@@ -508,3 +508,35 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
     assert ("b1", 0) in total           # new unique passes
     assert ("b0", 0) not in total       # pre-restart state still drops the dup
     assert total == {("a0", 0), ("a1", 0), ("b1", 0)}
+
+
+def test_stream_quality_scoring_equals_batch(spark, tmp_path):
+    """Train offline, score online: weights fitted in batch over the
+    corpus at rest must produce IDENTICAL per-document scores when
+    applied by the stateless scoring stream (same expression path)."""
+    from nreadability_spark.operators.classifier import (
+        feature_frame, fit_logreg, labeled_corpus, score_frame,
+    )
+    from nreadability_spark.streaming.score_stream import run_score_stream_to_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = fit_logreg(feature_frame(labeled_corpus(docs)), iters=4)[-1][1]
+
+    src = str(tmp_path / "feed")
+    docs.repartition(3).write.parquet(src)  # several files -> several triggers
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "scored"), str(tmp_path / "ckpt")
+    q = run_score_stream_to_parquet(stream, w, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"]: (r["logit_micro"], r["pred"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: (r["logit_micro"], r["pred"])
+            for r in score_frame(docs, w).collect()}
+    assert got == want and len(got) == 500
