@@ -33,6 +33,7 @@ HEADLINE = [
     "sim_knn_brute_force",
     "sim_knn_ivf",
     "sim_knn_pq",
+    "sim_knn_ivf_pq",
     "multimodal_decode_meta",
     "multimodal_audio_meta",
     "rel_event_sessions",

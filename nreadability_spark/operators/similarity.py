@@ -805,15 +805,20 @@ def _pq_slices_sql() -> str:
     )
 
 
-def _pq_cte_chain(iters: int = PQ_ITERS) -> str:
+def _pq_cte_chain(iters: int = PQ_ITERS, include_base: bool = True) -> str:
     """base + sub + unrolled per-subspace Lloyd CTEs ending at
-    ``pc{iters}`` (m, cent_id, c)."""
+    ``pc{iters}`` (m, cent_id, c). ``include_base=False`` composes with
+    a caller that already defined ``base`` (the IVF+PQ oracle)."""
     d = _l2sq_sql("s.sv", "c.c")
     parts = [
-        "base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
         f"sub AS MATERIALIZED ({_pq_slices_sql()})",
         f"pc0 AS (SELECT m, vec_id AS cent_id, sv AS c FROM sub WHERE vec_id < {PQ_K})",
     ]
+    if include_base:
+        parts.insert(
+            0,
+            "base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        )
     for i in range(1, iters + 1):
         prev = f"pc{i - 1}"
         parts.append(
@@ -889,6 +894,130 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id,
 """
 
 
+# --- composed IVF + PQ (the full FAISS-style index layout) -------------
+
+def knn_ivf_pq(
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """The full inverted-file + product-quantization search, composed
+    end-to-end: distributed coarse k-means fit -> per-cell inverted
+    lists STORING PQ codes (the index build joins cell assignment and
+    codes once, at build time — at 100 TB this is the materialized
+    index table, bytes per vector) -> query probes ``nprobe`` cells and
+    ranks candidates by ADC BIGINT sums. The search touches raw floats
+    only for the M x K codebook distance table; every per-vector
+    operation is a code lookup. Simplification vs FAISS noted: PQ is
+    trained on raw vectors, not per-cell residuals (residual PQ needs a
+    second fit keyed by cell; the plumbing is identical)."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    coarse = fit_centroids(spark, sf_dir)
+    book = fit_pq_codebook(emb)
+    # index build: inverted lists of PQ codes
+    assigned = _assign_to_centroids(emb, coarse).select("vec_id", "cell")
+    codes = _pq_assign(_subvectors(emb), book).select("vec_id", "m", "code")
+    index = assigned.join(codes, "vec_id")
+    # query side: nprobe nearest cells + ADC table, both broadcast
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    qscored = q.crossJoin(F.broadcast(coarse)).select(
+        "cent_id", _cosine(F.col("e"), F.col("c")).alias("ccos")
+    )
+    wp = Window.orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    probe = (
+        qscored.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= nprobe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    q_sub = _subvectors(q).select("m", F.col("sv").alias("qv"))
+    dtable = q_sub.join(book, "m").select(
+        "m",
+        F.col("cent_id").alias("code"),
+        F.round(_l2sq(F.col("qv"), F.col("c")) * PQ_MICRO)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    adist = (
+        index.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(dtable), ["m", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.orderBy("adist_micro", "vec_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "adist_micro",
+        )
+        .orderBy("rank")
+    )
+
+
+def knn_ivf_pq_sql(
+    k: int = IVF_TOP_K,
+    nprobe: int = IVF_NPROBE,
+    c: int = IVF_CENTROIDS,
+    kmeans_iters: int = KMEANS_ITERS,
+    pq_iters: int = PQ_ITERS,
+) -> str:
+    ccos = _cosine_sql("e.emb", "c.c")
+    d = _l2sq_sql("s.sv", "c.c")
+    dq = _l2sq_sql("q.sv", "c.c")
+    return f"""WITH {_kmeans_cte_chain(c, kmeans_iters)},
+{_pq_cte_chain(pq_iters, include_base=False)},
+coarse_scored AS MATERIALIZED (
+  SELECT e.vec_id, c.cent_id, {ccos} AS ccos FROM base e, c{kmeans_iters} c
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM coarse_scored
+  ) t WHERE r = 1
+),
+probe AS (
+  SELECT cent_id AS cell FROM (
+    SELECT cent_id, row_number() OVER (ORDER BY ccos DESC, cent_id) AS r
+    FROM coarse_scored WHERE vec_id = {QUERY_VEC_ID}
+  ) t WHERE r <= {nprobe}
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT s.vec_id, s.m, c.cent_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d}, c.cent_id) AS r
+    FROM sub s JOIN pc{pq_iters} c ON s.m = c.m
+  ) t WHERE r = 1
+),
+dtable AS (
+  SELECT q.m, c.cent_id AS code,
+         CAST(round({dq} * {PQ_MICRO}) AS BIGINT) AS d_micro
+  FROM (SELECT m, sv FROM sub WHERE vec_id = {QUERY_VEC_ID}) q
+  JOIN pc{pq_iters} c ON q.m = c.m
+),
+adist AS (
+  SELECT a.vec_id, a.cell, sum(dt.d_micro) AS adist_micro
+  FROM assigned a
+  JOIN probe p ON a.cell = p.cell
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN dtable dt ON cd.m = dt.m AND cd.code = dt.code
+  WHERE a.vec_id != {QUERY_VEC_ID}
+  GROUP BY a.vec_id, a.cell
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(adist_micro AS BIGINT) AS adist_micro FROM (
+  SELECT vec_id, cell, adist_micro,
+         row_number() OVER (ORDER BY adist_micro, vec_id) AS rank
+  FROM adist
+) r WHERE rank <= {k} ORDER BY rank
+"""
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_knn_ivf": knn_ivf_fitted,
@@ -897,6 +1026,7 @@ QUERIES = {
     "sim_quantize_int8": quantize_int8,
     "sim_pq_codes": pq_codes,
     "sim_knn_pq": knn_pq_adc,
+    "sim_knn_ivf_pq": knn_ivf_pq,
     "dedup_embedding_cosine": embedding_near_dups,
 }
 
@@ -908,5 +1038,6 @@ ORACLES = {
     "sim_quantize_int8": quantize_int8_sql(),
     "sim_pq_codes": pq_codes_sql(),
     "sim_knn_pq": knn_pq_adc_sql(),
+    "sim_knn_ivf_pq": knn_ivf_pq_sql(),
     "dedup_embedding_cosine": embedding_near_dups_sql(),
 }
