@@ -434,6 +434,124 @@ ORDER BY s.doc_id
 """
 
 
+# --- Bloom-filter decontamination (the large-eval-set scale path) ------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(df: DataFrame, m: int, k: int) -> DataFrame:
+    """Explode each shingle hash into its k Bloom bit positions via
+    Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m.
+    All arithmetic on the nonnegative 60-bit hash — portable BIGINT ops
+    on both engines."""
+    h1 = F.pmod(F.col("sh60"), F.lit(m))
+    h2 = F.lit(1) + F.pmod(F.shiftright(F.col("sh60"), 20), F.lit(m - 1))
+    poss = F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+    return df.withColumn("pos", F.explode(poss))
+
+
+def _bloom_positions_sql(i: int, m: int) -> str:
+    return f"((sh60 % {m}) + {i} * (1 + ((sh60 >> 20) % {m - 1}))) % {m}"
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_NGRAM,
+    bench_every: int = DECON_BENCH_EVERY,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Decontamination against a BLOOM FILTER of the eval set's n-gram
+    hashes — the shape for when the held-out set is too large to
+    broadcast as an exact hash table (the exact variant,
+    ``text_decontaminate``, broadcasts the hashes themselves). The
+    filter errs only toward over-removal (false positives can only ADD
+    flags — the safe direction for decontamination), and because the
+    bit positions are deterministic arithmetic on the portable 60-bit
+    hash, the filter — false positives included — is engine-exact and
+    oracle-checkable.
+
+    Output per contaminated-or-flagged doc: ``n_flagged`` (Bloom hits)
+    alongside ``n_exact`` (true overlaps), so the query itself measures
+    the filter's overcount at these parameters (m=4096, k=3 — sized so
+    sandbox corpora actually produce false positives; a production
+    filter sizes m for ~1% FP).
+
+    Scale shape: the bitmap is ``<= k * |eval n-grams|`` DISTINCT
+    positions, bounded by m regardless of eval-set size; the corpus
+    streams through the shared map-side shingle-hash stage, explodes k
+    bit positions per shingle, and probes the broadcast bitmap — zero
+    corpus shuffles before the per-doc count."""
+    docs = load_documents(spark, sf_dir)
+    sh = tx.hashed_shingles(docs, n=n)
+    bench = sh.where(F.col("doc_id") % bench_every == 0).select("sh60").distinct()
+    bits = _bloom_positions(bench, m, k).select("pos").distinct()
+    corpus = sh.where(F.col("doc_id") % bench_every != 0)
+    flagged = (
+        _bloom_positions(corpus, m, k)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "sh60")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .where(F.col("nhit") == k)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    exact = (
+        corpus.join(F.broadcast(bench), "sh60")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_flagged",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_bloom_sql(
+    n: int = DECON_NGRAM,
+    bench_every: int = DECON_BENCH_EVERY,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> str:
+    pos_union = " UNION ALL ".join(
+        f"SELECT doc_id, sh60, {_bloom_positions_sql(i, m)} AS pos FROM side"
+        for i in range(k)
+    )
+    return f"""
+WITH sh AS MATERIALIZED ({tx.hashed_shingles_sql('documents', n)}),
+bench AS (SELECT DISTINCT sh60 FROM sh WHERE doc_id % {bench_every} = 0),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_positions_sql(i, m)} AS pos FROM bench" for i in range(k))}
+  ) p
+),
+side AS (SELECT doc_id, sh60 FROM sh WHERE doc_id % {bench_every} != 0),
+cand AS ({pos_union}),
+flagged AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM (
+    SELECT c.doc_id, c.sh60, count(*) AS nhit
+    FROM cand c JOIN bits b ON c.pos = b.pos
+    GROUP BY c.doc_id, c.sh60 HAVING count(*) = {k}
+  ) f GROUP BY doc_id
+),
+exact AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM side s JOIN bench b ON s.sh60 = b.sh60
+  GROUP BY s.doc_id
+)
+SELECT f.doc_id, f.n_flagged, coalesce(e.n_exact, 0) AS n_exact
+FROM flagged f LEFT JOIN exact e ON f.doc_id = e.doc_id
+ORDER BY f.doc_id
+"""
+
+
 # --- deterministic train/val/test split --------------------------------
 
 SPLIT_TRAIN_PCT = 90
@@ -1268,6 +1386,7 @@ QUERIES = {
     "text_fingerprints": fingerprints,
     "text_bottomk_containment": bottomk_containment,
     "text_decontaminate": decontaminate,
+    "text_decontaminate_bloom": decontaminate_bloom,
     "text_train_val_split": train_val_split,
     "text_repetition": repetition_scores,
     "text_pii_scan": pii_scan,
@@ -1287,6 +1406,7 @@ ORACLES = {
     "text_fingerprints": FINGERPRINTS_SQL,
     "text_bottomk_containment": bottomk_containment_sql(),
     "text_decontaminate": decontaminate_sql(),
+    "text_decontaminate_bloom": decontaminate_bloom_sql(),
     "text_train_val_split": train_val_split_sql(),
     "text_repetition": repetition_scores_sql(),
     "text_pii_scan": pii_scan_sql(),

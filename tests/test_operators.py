@@ -316,6 +316,37 @@ def test_pq_adc_top10_beats_corpus_mean_distance(spark, duck):
     assert adc_mean < 0.9 * all_mean
 
 
+def test_bloom_decontaminate_is_a_superset_of_exact(spark):
+    """Bloom filters err only toward over-removal: every exact overlap
+    must be flagged (n_flagged >= n_exact per doc, every contaminated
+    doc present), and at the deliberately small sandbox parameters the
+    filter must actually produce false positives (otherwise the query
+    degenerates into the exact variant and tests nothing)."""
+    from nreadability_spark.operators.textops import decontaminate, decontaminate_bloom
+
+    bloom = {r["doc_id"]: (r["n_flagged"], r["n_exact"])
+             for r in decontaminate_bloom(spark, SF_DIR).collect()}
+    exact = {r["doc_id"]: r["n_overlapping_shingles"]
+             for r in decontaminate(spark, SF_DIR).collect()}
+    for d, n in exact.items():
+        assert d in bloom and bloom[d][0] >= n and bloom[d][1] == n
+    assert sum(f - e for f, e in bloom.values()) > 0  # real FPs
+
+
+def test_ivf_pq_search_broadcasts_query_side_tables(spark):
+    """The IVF+PQ search plan must broadcast the probe-cell and ADC
+    tables (query-side, dimension-sized) and never nested-loop the
+    index."""
+    from nreadability_spark.operators import similarity as S
+
+    plan = S.knn_ivf_pq(spark, SF_DIR)._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop joins allowed are the broadcast-tiny
+    # query-side centroid cross joins (1 x C / C x K rows); every one
+    # must be a BROADCAST nested loop, never a CartesianProduct
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_top_term_is_the_distinctive_one(spark):
     """A term frequent in one doc but absent elsewhere must outrank
     corpus-wide terms; ties break by term asc."""
