@@ -857,6 +857,87 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# --- Q21 shape: EXISTS + NOT EXISTS, hand-decorrelated -----------------
+
+Q21_LAG_DAYS = 1000
+Q21_TOP_K = 10
+
+def exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper in multi-supplier
+    orders (TPC-H Q21's EXISTS + NOT EXISTS shape). The Spark side is
+    the hand-decorrelated aggregate form — per (order, supplier) one
+    distinct row with a late flag (a single hash aggregate; NOT the
+    two-countDistinct formulation, whose Expand doubles shuffle rows),
+    then per-order supplier/late-supplier counts, then the filter
+    ``n_supp > 1 AND n_late_supp = 1``. The oracle is the textbook
+    correlated EXISTS/NOT EXISTS, so the driver compare proves the
+    rewrite's equivalence. One shuffle keyed by order, one by
+    supplier."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lines = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LAG_DAYS} DAYS")
+        ).cast("long").alias("is_late"),
+    )
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late_any")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late_any").alias("n_late_supp"),
+    )
+    winners = (
+        per_pair.where(F.col("late_any") == 1)
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_exclusive_late"))
+    )
+    w = Window.orderBy(F.desc("n_exclusive_late"), F.asc("l_suppkey"))
+    return (
+        winners.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= Q21_TOP_K)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "l_suppkey",
+            "n_exclusive_late",
+        )
+        .orderBy("rank")
+    )
+
+
+EXCLUSIVE_LATE_SUPPLIER_SQL = f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LAG_DAYS} DAY
+)
+SELECT CAST(row_number() OVER (ORDER BY n_exclusive_late DESC, l_suppkey)
+            AS BIGINT) AS rank,
+       l_suppkey, n_exclusive_late
+FROM (
+  SELECT s.l_suppkey,
+         CAST(count(DISTINCT s.l_orderkey) AS BIGINT) AS n_exclusive_late
+  FROM late s
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = s.l_orderkey
+                  AND l2.l_suppkey != s.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = s.l_orderkey
+                      AND l3.l_suppkey != s.l_suppkey)
+  GROUP BY s.l_suppkey
+) g
+ORDER BY n_exclusive_late DESC, l_suppkey
+LIMIT {Q21_TOP_K}
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_revenue_by_nation": revenue_by_nation,
@@ -880,6 +961,7 @@ QUERIES = {
     "rel_delayed_orders": delayed_orders,
     "rel_range_join_followers": range_join_followers,
     "rel_rolling_revenue": rolling_revenue,
+    "rel_exclusive_late_supplier": exclusive_late_supplier,
 }
 
 ORACLES = {
@@ -905,4 +987,5 @@ ORACLES = {
     "rel_delayed_orders": DELAYED_ORDERS_SQL,
     "rel_range_join_followers": RANGE_JOIN_FOLLOWERS_SQL,
     "rel_rolling_revenue": ROLLING_REVENUE_SQL,
+    "rel_exclusive_late_supplier": EXCLUSIVE_LATE_SUPPLIER_SQL,
 }
