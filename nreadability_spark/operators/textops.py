@@ -552,6 +552,142 @@ ORDER BY f.doc_id
 """
 
 
+# --- count-min sketch of token frequencies -----------------------------
+
+# width deliberately small: the synthetic corpus has a tiny vocabulary
+# (~10^2 distinct tokens), and at production widths no probe collides —
+# the sketch would be indistinguishable from the exact counts and the
+# one-sided-error path would go untested. w=64 makes real overcounts
+# land in the compared output at every sf (the guarantee stays
+# one-sided: est >= exact always).
+CMS_WIDTH = 64
+CMS_DEPTH = 3
+CMS_PROBE_TOP = 20
+
+
+def _cms_pos_sql(i: int, w: int, h: str) -> str:
+    return f"((({h}) % {w}) + {i} * (1 + ((({h}) >> 20) % {w - 1}))) % {w}"
+
+
+def token_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = CMS_WIDTH,
+    d: int = CMS_DEPTH,
+    probe_top: int = CMS_PROBE_TOP,
+) -> DataFrame:
+    """Count-min sketch of corpus token frequencies, probed against the
+    exact counts (Cormode & Muthukrishnan 2005) — the mergeable-sketch
+    shape for frequency estimation when the distinct-token table itself
+    is too large to aggregate exactly: the sketch is d*w counters
+    regardless of vocabulary size, and counter sums are map-side
+    partial-aggregable (the same reason approx_count_distinct beats
+    countDistinct at 100 TB). Positions use the same deterministic
+    double hashing as the Bloom filter, so the sketch — collisions and
+    all — is engine-exact: the oracle recomputes it bit-for-bit and the
+    output carries est alongside exact, asserting the one-sided
+    guarantee (CMS never underestimates) as checkable data.
+
+    Scale shape: ONE shuffle keyed by (row, pos) — at most d*w groups —
+    for the sketch; the probe side joins a broadcast-sized P*d position
+    table against it. The exact counts here are the verification
+    harness; a production user keeps only the sketch."""
+    toks = tx.exploded_tokens(load_documents(spark, sf_dir)).select("tok")
+    h = hashing.h60(F.col("tok"))
+    h1 = F.pmod(h, F.lit(w))
+    h2 = F.lit(1) + F.pmod(F.shiftright(h, 20), F.lit(w - 1))
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(h1 + F.lit(i) * h2, F.lit(w)).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p")
+    )
+    counters = pairs.groupBy(F.col("p.row").alias("row"), F.col("p.pos").alias("pos")).agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    wtop = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    probe = (
+        exact.withColumn("r", F.row_number().over(wtop))
+        .where(F.col("r") <= probe_top)
+        .drop("r")
+    )
+    ph = hashing.h60(F.col("tok"))
+    ph1 = F.pmod(ph, F.lit(w))
+    ph2 = F.lit(1) + F.pmod(F.shiftright(ph, 20), F.lit(w - 1))
+    probe_pos = probe.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(ph1 + F.lit(i) * ph2, F.lit(w)).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_cnt", F.col("p.row").alias("row"), F.col("p.pos").alias("pos"))
+    return (
+        probe_pos.join(F.broadcast(counters), ["row", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("counter").alias("est_cnt"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("tok")
+    )
+
+
+def token_cms_sql(
+    w: int = CMS_WIDTH, d: int = CMS_DEPTH, probe_top: int = CMS_PROBE_TOP
+) -> str:
+    toks = tx.exploded_tokens_sql("documents")
+    h = hashing.h60_sql("tok")
+    pair_union = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_pos_sql(i, w, h)} AS pos FROM t" for i in range(d)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {i} AS row, {_cms_pos_sql(i, w, h)} AS pos FROM probe"
+        for i in range(d)
+    )
+    return f"""
+WITH t AS MATERIALIZED (SELECT tok FROM ({toks}) e),
+counters AS MATERIALIZED (
+  SELECT row, pos, CAST(count(*) AS BIGINT) AS counter
+  FROM ({pair_union}) p GROUP BY row, pos
+),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY tok),
+probe AS (
+  SELECT tok, exact_cnt FROM (
+    SELECT tok, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, tok) AS r
+    FROM exact
+  ) x WHERE r <= {probe_top}
+),
+est AS (
+  SELECT pp.tok, pp.exact_cnt, min(c.counter) AS est_cnt
+  FROM ({probe_union}) pp JOIN counters c ON pp.row = c.row AND pp.pos = c.pos
+  GROUP BY pp.tok, pp.exact_cnt
+)
+SELECT tok, exact_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+FROM est ORDER BY tok
+"""
+
+
 # --- deterministic train/val/test split --------------------------------
 
 SPLIT_TRAIN_PCT = 90
@@ -1387,6 +1523,7 @@ QUERIES = {
     "text_bottomk_containment": bottomk_containment,
     "text_decontaminate": decontaminate,
     "text_decontaminate_bloom": decontaminate_bloom,
+    "text_token_cms": token_cms,
     "text_train_val_split": train_val_split,
     "text_repetition": repetition_scores,
     "text_pii_scan": pii_scan,
@@ -1407,6 +1544,7 @@ ORACLES = {
     "text_bottomk_containment": bottomk_containment_sql(),
     "text_decontaminate": decontaminate_sql(),
     "text_decontaminate_bloom": decontaminate_bloom_sql(),
+    "text_token_cms": token_cms_sql(),
     "text_train_val_split": train_val_split_sql(),
     "text_repetition": repetition_scores_sql(),
     "text_pii_scan": pii_scan_sql(),

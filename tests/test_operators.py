@@ -316,6 +316,18 @@ def test_pq_adc_top10_beats_corpus_mean_distance(spark, duck):
     assert adc_mean < 0.9 * all_mean
 
 
+def test_token_cms_never_underestimates_and_collides(spark):
+    """CMS one-sided guarantee: every estimate >= the exact count; at
+    the deliberately narrow sandbox width at least one probe must
+    actually overcount (otherwise the sketch path is untested)."""
+    from nreadability_spark.operators.textops import token_cms
+
+    rows = token_cms(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+    assert any(r["overcount"] > 0 for r in rows)
+
+
 def test_bloom_decontaminate_is_a_superset_of_exact(spark):
     """Bloom filters err only toward over-removal: every exact overlap
     must be flagged (n_flagged >= n_exact per doc, every contaminated
