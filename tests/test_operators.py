@@ -388,6 +388,50 @@ def test_bpe_greedy_overlap_and_restart(spark):
     assert syms["aaaa"] == ["aaaa"] and syms["b"] == ["b"]
 
 
+@pytest.mark.parametrize("seed", [3, 11])
+def test_bpe_fit_matches_pure_python_reference(spark, seed):
+    """Randomized cross-check of the distributed fit against an
+    independent in-memory BPE (pair counting + greedy merge), tiny
+    alphabet so merge interactions are dense."""
+    import random
+
+    from nreadability_spark.operators.bpe import fit_merges, word_table
+
+    rng = random.Random(seed)
+    vocab = {"".join(rng.choice("ab") for _ in range(rng.randint(1, 6))): rng.randint(1, 5)
+             for _ in range(rng.randint(3, 8))}
+    rounds = 4
+
+    syms = {w: list(w) for w in vocab}
+    want_merges = []
+    for rank in range(rounds):
+        pc: dict = {}
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + cnt
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want_merges.append((rank, l, r, l + r, c))
+        for w, s in syms.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(sorted(vocab.items()))],
+        "doc_id: long, text: string",
+    )
+    got_merges, got_words = fit_merges(word_table(docs), rounds=rounds)
+    assert got_merges == want_merges
+    assert {r["word"]: r["syms"] for r in got_words.collect()} == syms
+
+
 def test_bpe_merge_counts_non_increasing(spark):
     """Classic BPE invariant: the winning pair count never increases
     round over round (every post-merge pair occurrence maps to a
