@@ -688,6 +688,83 @@ FROM est ORDER BY tok
 """
 
 
+# --- feature-hashing document embeddings (the hashing trick) -----------
+
+FH_DIM = 64
+
+
+def hashed_embeddings(
+    spark: SparkSession, sf_dir: str, dim: int = FH_DIM
+) -> DataFrame:
+    """Document embeddings via feature hashing (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): each token
+    maps to dimension ``h % dim`` with a deterministic ±1 sign from the
+    next hash bit, counts accumulate, and the vector is L2-normalized.
+    This is how you get a fixed-width embedding column out of raw text
+    with NO learned vocabulary and NO Python — the cheap text-side
+    input to the similarity stack (the embeddings table's schema, built
+    from documents instead of given).
+
+    Long-format output (doc_id, dim, weight): the un-normalized
+    coordinates are exact BIGINTs; the single division by the L2 norm
+    is the only float step and is rounded to 6 dp identically on both
+    engines (integer sums make the norm itself exact).
+
+    Scale shape: one map-side explode to (doc, dim, sign) and ONE hash
+    aggregate keyed by (doc_id, dim) — at most ``dim`` rows per
+    document regardless of length; the norm is a window-free in-group
+    aggregate reusing the same partitioning."""
+    toks = tx.exploded_tokens(load_documents(spark, sf_dir)).select("doc_id", "tok")
+    h = hashing.h60(F.col("tok"))
+    coords = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).alias("dim"),
+        # sign bit: one hash bit ABOVE the dimension bits, so sign and
+        # dimension are independent
+        (F.lit(1) - F.lit(2) * F.pmod(F.shiftright(h, 20), F.lit(2))).alias("sign"),
+    )
+    raw = coords.groupBy("doc_id", "dim").agg(F.sum("sign").alias("coord"))
+    norms = raw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("coord") * F.col("coord"))).alias("norm")
+    )
+    return (
+        raw.join(norms, "doc_id")
+        .where(F.col("coord") != 0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("coord") / F.greatest("norm", F.lit(1e-300)), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy("doc_id", "dim")
+    )
+
+
+def hashed_embeddings_sql(dim: int = FH_DIM) -> str:
+    toks = tx.exploded_tokens_sql("documents")
+    h = hashing.h60_sql("tok")
+    return f"""
+WITH coords AS (
+  SELECT doc_id, ({h}) % {dim} AS dim,
+         1 - 2 * ((({h}) >> 20) % 2) AS sign
+  FROM ({toks}) t
+),
+raw AS (
+  SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS coord
+  FROM coords GROUP BY doc_id, dim
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(coord * coord)) AS norm FROM raw GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(r.dim AS BIGINT) AS dim,
+       round(r.coord / greatest(n.norm, 1e-300), 6) AS weight
+FROM raw r JOIN norms n ON r.doc_id = n.doc_id
+WHERE r.coord != 0
+ORDER BY r.doc_id, r.dim
+"""
+
+
 # --- deterministic train/val/test split --------------------------------
 
 SPLIT_TRAIN_PCT = 90
@@ -1524,6 +1601,7 @@ QUERIES = {
     "text_decontaminate": decontaminate,
     "text_decontaminate_bloom": decontaminate_bloom,
     "text_token_cms": token_cms,
+    "text_hashed_embeddings": hashed_embeddings,
     "text_train_val_split": train_val_split,
     "text_repetition": repetition_scores,
     "text_pii_scan": pii_scan,
@@ -1545,6 +1623,7 @@ ORACLES = {
     "text_decontaminate": decontaminate_sql(),
     "text_decontaminate_bloom": decontaminate_bloom_sql(),
     "text_token_cms": token_cms_sql(),
+    "text_hashed_embeddings": hashed_embeddings_sql(),
     "text_train_val_split": train_val_split_sql(),
     "text_repetition": repetition_scores_sql(),
     "text_pii_scan": pii_scan_sql(),
