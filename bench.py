@@ -51,6 +51,8 @@ HEADLINE = [
     "rel_range_join_followers",
     "text_span_dedup",
     "text_tfidf_keywords",
+    "text_token_cms",
+    "text_hashed_embeddings",
     "text_bpe_encode",
     "text_quality_classifier_apply",
     "rel_rolling_revenue",

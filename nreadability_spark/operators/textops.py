@@ -592,11 +592,23 @@ def token_cms(
     for the sketch; the probe side joins a broadcast-sized P*d position
     table against it. The exact counts here are the verification
     harness; a production user keeps only the sketch."""
-    toks = tx.exploded_tokens(load_documents(spark, sf_dir)).select("tok")
-    h = hashing.h60(F.col("tok"))
-    h1 = F.pmod(h, F.lit(w))
-    h2 = F.lit(1) + F.pmod(F.shiftright(h, 20), F.lit(w - 1))
-    pairs = toks.select(
+    # pre-spread: this query re-scans the (single-file) corpus three
+    # times with per-token hashing in the scan stage; without the
+    # explicit repartition every pass runs in ONE task (the raw table
+    # is a few MB — the spread costs less than a second of the ~15s
+    # single-task cold time it removes)
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tx.exploded_tokens(docs).select("tok")
+    # materialize the md5-derived hash ONCE per token: the position
+    # expressions reference it 2*d times, and codegen does not CSE the
+    # embedded md5 subtree (the HOF-lambda pitfall, same fix — measured
+    # 18.5s -> ~2s cold at sf0.1)
+    hashed = toks.select(hashing.h60(F.col("tok")).alias("h"))
+    h1 = F.pmod(F.col("h"), F.lit(w))
+    h2 = F.lit(1) + F.pmod(F.shiftright(F.col("h"), 20), F.lit(w - 1))
+    pairs = hashed.select(
         F.explode(
             F.array(
                 *[
@@ -619,9 +631,9 @@ def token_cms(
         .where(F.col("r") <= probe_top)
         .drop("r")
     )
-    ph = hashing.h60(F.col("tok"))
-    ph1 = F.pmod(ph, F.lit(w))
-    ph2 = F.lit(1) + F.pmod(F.shiftright(ph, 20), F.lit(w - 1))
+    probe = probe.select("tok", "exact_cnt", hashing.h60(F.col("tok")).alias("h"))
+    ph1 = F.pmod(F.col("h"), F.lit(w))
+    ph2 = F.lit(1) + F.pmod(F.shiftright(F.col("h"), 20), F.lit(w - 1))
     probe_pos = probe.select(
         "tok",
         "exact_cnt",
@@ -714,14 +726,20 @@ def hashed_embeddings(
     aggregate keyed by (doc_id, dim) — at most ``dim`` rows per
     document regardless of length; the norm is a window-free in-group
     aggregate reusing the same partitioning."""
-    toks = tx.exploded_tokens(load_documents(spark, sf_dir)).select("doc_id", "tok")
-    h = hashing.h60(F.col("tok"))
-    coords = toks.select(
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = tx.exploded_tokens(docs).select("doc_id", "tok")
+    # one md5 per token (materialized before reuse — the CSE pitfall)
+    hashed = toks.select("doc_id", hashing.h60(F.col("tok")).alias("h"))
+    coords = hashed.select(
         "doc_id",
-        F.pmod(h, F.lit(dim)).alias("dim"),
+        F.pmod(F.col("h"), F.lit(dim)).alias("dim"),
         # sign bit: one hash bit ABOVE the dimension bits, so sign and
         # dimension are independent
-        (F.lit(1) - F.lit(2) * F.pmod(F.shiftright(h, 20), F.lit(2))).alias("sign"),
+        (F.lit(1) - F.lit(2) * F.pmod(F.shiftright(F.col("h"), 20), F.lit(2))).alias(
+            "sign"
+        ),
     )
     raw = coords.groupBy("doc_id", "dim").agg(F.sum("sign").alias("coord"))
     norms = raw.groupBy("doc_id").agg(
