@@ -227,7 +227,11 @@ def write_report(out_path, results, conc, levels, convs):
     )
     eff_rows = "\n".join(f"| {k} | {v} |" for k, v in effs.items())
 
-    if conc is None or 16 not in results:
+    # the full report renders the protocol-A headline "{tps32} at
+    # local[32]" — a subset re-measure without level 32 (e.g.
+    # --levels 4,8,16 with the control) must NOT take that path, or it
+    # overwrites BENCH/BASELINE.md with '**None** at local[32]'
+    if conc is None or 16 not in results or 32 not in results:
         out_path.write_text(
             "# BENCH — partial scaling run (levels subset; no control)\n\n"
             "| level | turns | wall sec (best of 3, steady state) | turns/sec |\n"

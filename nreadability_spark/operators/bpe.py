@@ -12,14 +12,20 @@ greedy-merge BPE:
   weighted by word frequency, take the globally most frequent pair
   (deterministic tie-break: count desc, then lexicographic), and merge
   it greedily left-to-right in every word.
-- **encode**: apply the learned merge ranks in order, then join each
-  document's tokens to the (word -> subword count) table.
+- **encode**: apply the learned merge ranks in order MAP-SIDE — the
+  fitted model is the R-row merge list (a learned parameter, bounded by
+  the round count), compiled into a chain of R Catalyst fold
+  expressions over each token's character split. No vocabulary join:
+  the distinct-word table grows ~Heaps-law with the corpus (billions of
+  types at 100 TB — URLs, typos, code), so it is NOT broadcastable and
+  never ships anywhere at encode time.
 
 Scale shape (100 TB):
 - The corpus is touched exactly twice: once to build the word-frequency
   table (one shuffle on word, partial aggregation map-side) and once at
-  encode time (a broadcast join against the fitted vocabulary — the
-  model is DATA, not code, exactly like the lang-id marker table).
+  encode time (per-doc distinct-word aggregation -> R map-side merge
+  folds -> per-doc rollup; the only state shipped to executors is the
+  R-row merge list, baked into the expressions).
 - All R fit rounds run on the word table only. Each round is one
   map-side pair explode (zipped adjacent slices — only (l, r, cnt)
   rows shuffle) + one hash aggregate + a 1-row collect (the learned
@@ -127,23 +133,32 @@ def bpe_fit(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataF
 
 
 def bpe_encode(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataFrame:
-    """Per-document subword statistics under the fitted vocabulary:
-    token occurrences join the (word -> n_subwords) table — broadcast,
-    because the fitted vocabulary is dimension-sized no matter how big
-    the corpus is."""
+    """Per-document subword statistics under the fitted merge list,
+    applied MAP-SIDE: the model shipped to executors is the R merges
+    (compiled into R chained ``_merge_fold`` expressions), never the
+    corpus-cardinality word table — that table grows with the corpus
+    (Heaps' law) and broadcasting it OOMs at 100 TB. Re-applying the
+    merges in rank order to a fresh character split reproduces the
+    fitted word table's segmentation exactly (each fit round applied
+    its merge exhaustively to the then-current table, and the fold is
+    the same deterministic function of the word). Folds run once per
+    per-doc distinct word (pre-aggregated), not per occurrence."""
     docs = _load_documents(spark, sf_dir)
-    _, words = fit_merges(word_table(docs), rounds)
-    vocab = words.select("word", F.size("syms").cast("long").alias("n_sub"))
-    doc_words = docs.select(
-        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("word")
+    merges, _ = fit_merges(word_table(docs), rounds)
+    doc_words = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .withColumn("syms", F.split("word", ""))
     )
+    for _rank, l, r, _merged, _c in merges:
+        doc_words = doc_words.withColumn("syms", _merge_fold(l, r))
     return (
-        doc_words.join(F.broadcast(vocab), "word")
-        .groupBy("doc_id")
+        doc_words.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_sub").alias("n_bpe_tokens"),
-            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("occ").alias("n_words"),
+            F.sum(F.col("occ") * F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.col("occ") * F.length("word")).cast("long").alias("n_chars"),
         )
         .withColumn(
             "chars_per_token",
@@ -189,8 +204,16 @@ def _fit_ctes(rounds: int) -> tuple[str, str]:
 )"""
         )
         fold = _FOLD_SQL.format(m=m)
+        # LEFT JOIN ON TRUE (not a cross join): when pair counts exhaust
+        # before `rounds`, m{k} is EMPTY — a cross join would empty w{k}
+        # and every round after it, silently zeroing the vocabulary,
+        # while Spark's fit_merges breaks and keeps the last word table.
+        # With the left join the m{k} columns come back NULL, the CASE
+        # predicate is NULL (treated as false), and the fold reduces to
+        # the identity — the same carry-forward as the Spark early break.
         parts.append(
-            f"w{k} AS MATERIALIZED (\n  SELECT word, cnt, {fold} AS syms FROM {prev}, {m}\n)"
+            f"w{k} AS MATERIALIZED (\n  SELECT word, cnt, {fold} AS syms"
+            f"\n  FROM {prev} LEFT JOIN {m} ON TRUE\n)"
         )
     return "WITH " + ",\n".join(parts), f"w{rounds}"
 

@@ -292,7 +292,12 @@ def fit_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s"))
             .select(F.col("cell").alias("cent_id"), F.col("s.val").alias("c"))
         )
-    return cents
+    # pin the C-row model table: composed searches (IVF, IVF+PQ)
+    # reference the centroids from several broadcast exchanges, and an
+    # unpinned plan re-runs the whole Lloyd chain once per exchange. In
+    # production this is the parquet model table jobs/fit_models.py
+    # writes; locally, localCheckpoint is the same materialize-once.
+    return cents.localCheckpoint()
 
 
 def centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,7 +728,10 @@ def fit_pq_codebook(emb: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
             .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("s"))
             .select("m", F.col("cell").alias("cent_id"), F.col("s.val").alias("c"))
         )
-    return cents
+    # pin the M x K codebook (same rationale as fit_centroids): the PQ
+    # searches reference it from both the codes join and the ADC
+    # distance-table join — materialize the fit once.
+    return cents.localCheckpoint()
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:

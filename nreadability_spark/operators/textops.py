@@ -921,9 +921,13 @@ def sequence_packing(
     bounded at ``block_size`` rows by construction. Same shape as the
     conversation-offset two-phase plan, lifted to a global key."""
     docs = load_documents(spark, sf_dir)
+    # integer `div`, NOT double division + cast: a double round-trip is
+    # exact only below 2^53, and the global token offset exceeds that
+    # at the 10^12-doc scale this layout exists for (the SQL twin uses
+    # integer // for the same reason)
     toks = docs.select(
         "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
-    ).withColumn("_blk", (F.col("doc_id") / F.lit(block_size)).cast("long"))
+    ).withColumn("_blk", F.expr(f"doc_id div {block_size}"))
 
     blk_sums = toks.groupBy("_blk").agg(F.sum("n_tokens").alias("_blk_tokens"))
     w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -945,12 +949,12 @@ def sequence_packing(
             "doc_id",
             "n_tokens",
             "offset_global",
-            (F.col("offset_global") / F.lit(budget)).cast("long").alias("pack_id"),
+            F.expr(f"offset_global div {budget}").alias("pack_id"),
             (F.col("offset_global") % F.lit(budget)).cast("long").alias("pack_offset"),
             F.when(F.col("n_tokens") == 0, F.lit(1))
             .otherwise(
-                ((F.col("offset_global") + F.col("n_tokens") - 1) / F.lit(budget)).cast("long")
-                - (F.col("offset_global") / F.lit(budget)).cast("long")
+                F.expr(f"(offset_global + n_tokens - 1) div {budget}")
+                - F.expr(f"offset_global div {budget}")
                 + 1
             )
             .cast("long")

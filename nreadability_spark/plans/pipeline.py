@@ -127,8 +127,9 @@ def training_ready(
 
         clean_corpus (quality + exact dedup + near-dup prune)
           -> drop the evaluation slice itself (doc_id % bench_every)
-          -> drop contaminated docs (8-gram overlap with the eval set,
-             broadcast hash-set semi-join — no corpus shuffle)
+          -> drop contaminated docs (8-gram overlap with the eval set;
+             anti-join on doc_id — AQE picks broadcast at runtime when
+             the contaminated set proves small)
           -> deterministic train/val/test assignment from the CONTENT
              fingerprint already in hand (fp60 mod 100 — duplicates
              share splits, stable under re-ingestion)
@@ -146,9 +147,14 @@ def training_ready(
         .when(bucket < textops.SPLIT_TRAIN_PCT + textops.SPLIT_VAL_PCT, "val")
         .otherwise("test")
     )
+    # no broadcast hint: the contaminated set is one row per
+    # contaminated doc — usually tiny, but NOT bounded by a constant (a
+    # pathologically leaked benchmark contaminates the whole corpus).
+    # The anti-join is keyed on doc_id (hash-distributable); AQE
+    # converts it to a runtime broadcast when stats prove it fits.
     return (
         survivors.where(F.col("doc_id") % textops.DECON_BENCH_EVERY != 0)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", split.alias("split"))
         .orderBy("doc_id")
     )

@@ -71,8 +71,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # nation (25 rows) and region (5 rows) are CONSTANT-size dims —
+    # broadcast is always right. customer is O(SF): no hint, so the
+    # planner broadcasts it while its stats fit the threshold and
+    # falls back to a shuffle join at SF where a forced hint would OOM.
     return (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.join(cust.select("c_custkey", "c_nationkey"),
                     orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -106,8 +110,9 @@ def top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    # customer is O(SF) — no broadcast hint (see revenue_by_nation)
     return (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_name")),
+        orders.join(cust.select("c_custkey", "c_name"),
                     orders.o_custkey == cust.c_custkey)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -450,8 +455,9 @@ def big_spenders(spark: SparkSession, sf_dir: str, min_total: float = 300000.0) 
              F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("total_spent") > min_total)
     )
+    # customer is O(SF) — no broadcast hint (see revenue_by_nation)
     return (
-        totals.join(F.broadcast(cust.select("c_custkey", "c_name")),
+        totals.join(cust.select("c_custkey", "c_name"),
                     totals.o_custkey == cust.c_custkey)
         .select(F.col("c_custkey"), F.col("c_name"), "total_spent", "n_orders")
         .orderBy("c_custkey")

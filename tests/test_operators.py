@@ -445,6 +445,21 @@ def test_bpe_merge_counts_non_increasing(spark):
 
 # --- plan-shape assertions (scale contracts) ---------------------------
 
+def test_bpe_encode_never_broadcasts_word_table(spark):
+    """Encode must apply the fitted merge list map-side: the distinct-
+    word table grows ~Heaps-law with the corpus (unbounded at 100 TB),
+    so its broadcast — or ANY join against it — must not appear in the
+    encode plan. The only joins allowed are none at all: the plan is
+    scan -> explode -> two keyed aggregations with the R merge folds as
+    projections in between."""
+    from nreadability_spark.operators.bpe import bpe_encode
+
+    df = bpe_encode(spark, SF_DIR, rounds=3)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+    assert "Join" not in plan  # zero joins: the model is in the expressions
+
+
 def test_revenue_join_broadcasts_dimensions(spark):
     from nreadability_spark.plans import relational
 
