@@ -255,7 +255,7 @@ _CHECK_FIRST = (
     "multimodal_frame_sample", "extract_stitch_conversations",
     "pipeline_clean_corpus", "pipeline_training_ready", "extract_documents",
     "extract_doc_pages", "extract_warc_pages", "extract_transcripts",
-    "extract_mixed_media", "text_pii_scan_planted",
+    "extract_mixed_media", "text_pii_scan_planted", "rel_lapsed_customers",
 )
 
 

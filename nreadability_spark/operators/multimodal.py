@@ -14,10 +14,11 @@ metadata extraction — with a REAL stdlib image-header decoder:
   (multi-frame container, block-structure walk in ``gif_frame_info``).
 
 Unrecognized bytes yield ``unknown``/NULL rows — total, never a crash
-on a hostile row. The only gated path left is ``decode_samples``:
-decoding actual audio samples / video pixels needs codec libraries
-absent from this sandbox, and it raises at the exact ``soundfile``/
-``av`` call site a real cluster would run.
+on a hostile row. ``decode_samples`` decodes uncompressed 16-bit PCM
+for REAL (stdlib ``struct`` unpack of the data chunk -> exact integer
+amplitude statistics); only compressed codecs (mp3/aac/opus) remain
+gated, raising at the exact ``soundfile``/``av`` call site a real
+cluster would run.
 
 The batch iterator shape (``Iterator[pd.DataFrame] ->
 Iterator[pd.DataFrame]``) is the real production signature: one Arrow
@@ -218,20 +219,87 @@ def decode_audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.select("doc_id", payload_col).mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("min_amp", T.LongType()),
+        T.StructField("max_amp", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def decode_pcm_samples(data: bytes) -> list[int] | None:
+    """Decode the raw int16 PCM samples from a RIFF/WAVE payload with
+    stdlib ``struct`` — no codec library needed for uncompressed PCM
+    (audio format tag 1). Returns None when the payload is not
+    PCM WAV (compressed codecs are the genuinely gated path)."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        i, n = 12, len(data)
+        fmt_tag = bits = None
+        pcm: bytes | None = None
+        while i + 8 <= n:
+            cid = data[i : i + 4]
+            size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body = data[i + 8 : i + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt_tag, _ch, _sr, _br, _block, bits = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                pcm = body
+            i += 8 + size + (size & 1)
+        if fmt_tag != 1 or bits != 16 or pcm is None:
+            return None
+        usable = len(pcm) - (len(pcm) % 2)
+        return list(struct.unpack(f"<{usable // 2}h", pcm[:usable]))
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """The genuinely gated stage: decoding actual audio SAMPLES (or
-    video pixels) requires codec libraries absent from this sandbox —
-    raises at the exact call site ``soundfile.read``/``av`` would run.
-    Header metadata decodes for real via ``decode_audio_metadata``."""
+    """Amplitude statistics from ACTUAL decoded samples: uncompressed
+    16-bit PCM decodes for real with stdlib ``struct`` (one unpack per
+    payload, Arrow-batched). min/max and the integer sum / sum-of-
+    squares are exact longs — partition-order independent and oracle-
+    checkable in closed form against the planted waveform.
 
-    def gated(it):
-        raise NotImplementedError(
-            "sample decode requires codec libraries not present in this "
-            "sandbox; header metadata parses for real (decode_audio_metadata)"
-        )
-        yield  # pragma: no cover
+    Compressed codecs (mp3/aac/opus — absent from this sandbox) raise
+    at the exact call site ``soundfile``/``av`` would run on a real
+    cluster; the gated surface is now ONLY the genuinely impossible
+    paths."""
 
-    return df.select("doc_id", payload_col).mapInPandas(gated, schema=AUDIO_META_SCHEMA)
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                vals = decode_pcm_samples(bytes(payload))
+                if vals is None:
+                    raise NotImplementedError(
+                        "sample decode for non-PCM payloads requires codec "
+                        "libraries not present in this sandbox; 16-bit PCM "
+                        "WAV decodes for real"
+                    )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(vals),
+                        min(vals) if vals else None,
+                        max(vals) if vals else None,
+                        sum(vals),
+                        sum(v * v for v in vals),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_values", "min_amp", "max_amp", "sum_amp", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, schema=SAMPLES_SCHEMA)
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +332,46 @@ SELECT doc_id,
        CAST(n_samples AS BIGINT) AS n_samples,
        CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms
 FROM base
+ORDER BY doc_id
+"""
+
+
+def multimodal_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM sample decode over the materialized WAV corpus: the
+    payload's int16 data chunk is unpacked and reduced to exact integer
+    amplitude statistics. The oracle restates the planted waveform
+    ``synth.wav_sample_value`` in closed form — a byte-order slip, an
+    off-by-one in the chunk walk, or a lost trailing sample all
+    hash-mismatch."""
+    from nreadability_spark.sources.synth import materialize_wavs
+
+    payloads = spark.read.parquet(materialize_wavs(spark, sf_dir))
+    return decode_samples(payloads).orderBy("doc_id")
+
+
+def multimodal_audio_samples_sql() -> str:
+    # closed form of synth.wav_sample_value over synth.wav_meta_for's
+    # interleaved sample count (n_samples frames x n_channels)
+    return """
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS n_channels,
+         100 + (doc_id * 13) % 400 AS n_samples
+  FROM documents
+),
+vals AS (
+  SELECT doc_id,
+         (doc_id * 31 + unnest(range(n_samples * n_channels)) * 17) % 2001 - 1000 AS s
+  FROM base
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(min(s) AS BIGINT) AS min_amp,
+       CAST(max(s) AS BIGINT) AS max_amp,
+       CAST(sum(s) AS BIGINT) AS sum_amp,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq
+FROM vals
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -395,10 +503,12 @@ ORDER BY doc_id, frame_idx
 QUERIES = {
     "multimodal_decode_meta": multimodal_metadata,
     "multimodal_audio_meta": multimodal_audio,
+    "multimodal_audio_samples": multimodal_audio_samples,
     "multimodal_frame_sample": multimodal_frames,
 }
 ORACLES = {
     "multimodal_decode_meta": multimodal_metadata_sql(),
     "multimodal_audio_meta": multimodal_audio_sql(),
+    "multimodal_audio_samples": multimodal_audio_samples_sql(),
     "multimodal_frame_sample": multimodal_frames_sql(),
 }

@@ -1018,6 +1018,60 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(any_hit).orderBy("doc_id")
 
 
+def pii_scan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over a PLANTED corpus — the non-vacuous driver check.
+
+    ``pii_scan`` is correct but vacuously green at the driver's scale
+    factor (the synthetic documents contain no PII, so Spark and the
+    oracle agree on the empty set — which verifies the filter
+    direction, not the counts). Here each doc_id gets a deterministic
+    number of planted e-mails / phones / SSNs, generated as pure
+    Catalyst string expressions (repeat/concat — zero Python, nothing
+    materialized), and the scan's regexes run over that text. The
+    oracle is CLOSED FORM: the expected counts are arithmetic in
+    doc_id, so a regex drift, a repeat-miscount, or an off-by-one in
+    the any-hit filter all surface as value mismatches on real rows.
+
+    Plant spacing matters: each planted item is wrapped in non-PII
+    filler words so matches never merge or overlap across plants (the
+    regexes are non-overlapping left-to-right in both engines)."""
+    docs = load_documents(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact block: "),
+            F.expr("repeat('reach user.name@example.com soon ', cast(doc_id % 3 as int))"),
+            F.expr("repeat('call 555-010-1234 today ', cast((doc_id + 1) % 4 as int))"),
+            F.expr("CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789 end' ELSE 'no ssn here' END"),
+        ).alias("text"),
+    )
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, rx in PII_PATTERNS.items()
+    ]
+    out = planted.select("doc_id", *counts)
+    any_hit = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return out.where(any_hit).orderBy("doc_id")
+
+
+def pii_scan_planted_sql() -> str:
+    """Arithmetic twin of the planted scan: no regexes, no planted
+    text — just the planting formula, so the two sides are computed by
+    genuinely different routes."""
+    return """
+SELECT doc_id,
+       CAST(doc_id % 3 AS BIGINT) AS n_emails,
+       CAST((doc_id + 1) % 4 AS BIGINT) AS n_phones,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ssns
+FROM documents
+WHERE doc_id % 3 > 0 OR (doc_id + 1) % 4 > 0 OR doc_id % 5 = 0
+ORDER BY doc_id
+"""
+
+
 def pii_scan_sql() -> str:
     cols = ",\n       ".join(
         f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_{name}"
@@ -1627,6 +1681,7 @@ QUERIES = {
     "text_train_val_split": train_val_split,
     "text_repetition": repetition_scores,
     "text_pii_scan": pii_scan,
+    "text_pii_scan_planted": pii_scan_planted,
     "text_sequence_packing": sequence_packing,
     "text_unigram_logprob": unigram_logprob,
     "text_source_mixture": source_mixture,
@@ -1649,6 +1704,7 @@ ORACLES = {
     "text_train_val_split": train_val_split_sql(),
     "text_repetition": repetition_scores_sql(),
     "text_pii_scan": pii_scan_sql(),
+    "text_pii_scan_planted": pii_scan_planted_sql(),
     "text_sequence_packing": sequence_packing_sql(),
     "text_unigram_logprob": unigram_logprob_sql(),
     "text_source_mixture": SOURCE_MIXTURE_SQL,

@@ -186,6 +186,41 @@ ORDER BY c_custkey
 """
 
 
+def lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO order on/after the cutoff (anti join with a
+    pushed-down date filter). Same plan family as
+    ``customers_without_orders``, but NON-VACUOUS at every test scale:
+    that query matches its oracle on 0 rows vs 0 rows (every synthetic
+    customer has at least one order), which verifies only the filter
+    direction — this one anti-joins against a filtered order set that
+    provably excludes some customers, so the driver hash-compares real
+    rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    recent = (
+        orders.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+LAPSED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
 # --- order priority rollup (grouping sets) -----------------------------
 
 def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,6 +985,7 @@ QUERIES = {
     "rel_top_orders": top_orders,
     "rel_user_event_sequences": user_event_sequences,
     "rel_customers_without_orders": customers_without_orders,
+    "rel_lapsed_customers": lapsed_customers,
     "rel_brand_revenue": brand_revenue,
     "rel_order_priority_rollup": order_priority_rollup,
     "rel_daily_event_summary": daily_event_summary,
@@ -976,6 +1012,7 @@ ORACLES = {
     "rel_top_orders": TOP_ORDERS_SQL,
     "rel_user_event_sequences": USER_EVENT_SEQUENCES_SQL,
     "rel_customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "rel_lapsed_customers": LAPSED_CUSTOMERS_SQL,
     "rel_brand_revenue": BRAND_REVENUE_SQL,
     "rel_order_priority_rollup": ORDER_PRIORITY_ROLLUP_SQL,
     "rel_daily_event_summary": DAILY_EVENT_SUMMARY_SQL,

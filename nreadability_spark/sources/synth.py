@@ -300,18 +300,31 @@ WAV_BITS = 16
 WAV_HEADER_LEN = 44  # RIFF(12) + fmt chunk(8+16) + data chunk header(8)
 
 
-def build_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
-    """Valid 16-bit PCM RIFF/WAVE file (silence) — every field real,
-    parseable by any audio tool; fixed-layout so the metadata oracle is
-    closed-form (n_bytes = 44 + n_samples * n_channels * 2)."""
+def wav_sample_value(seed: int, j: int) -> int:
+    """The planted PCM sample at interleaved position ``j`` for a doc
+    seeded ``seed`` — closed form, restated by the sample-decode
+    oracle. Range [-1000, 1000], comfortably inside int16."""
+    return (seed * 31 + j * 17) % 2001 - 1000
+
+
+def build_wav(sample_rate: int, n_channels: int, n_samples: int, seed: int = 0) -> bytes:
+    """Valid 16-bit PCM RIFF/WAVE file — every field real, parseable by
+    any audio tool; fixed-layout so the metadata oracle is closed-form
+    (n_bytes = 44 + n_samples * n_channels * 2). Sample data is the
+    deterministic planted waveform ``wav_sample_value(seed, j)`` over
+    interleaved positions, so amplitude statistics (min/max/integer
+    sums) are ALSO closed-form — the sample-decode oracle."""
     block = n_channels * WAV_BITS // 8
-    data_len = n_samples * block
+    total = n_samples * n_channels
+    pcm = struct.pack(
+        f"<{total}h", *(wav_sample_value(seed, j) for j in range(total))
+    )
     fmt_body = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, WAV_BITS
     )
     chunks = (
         b"fmt " + struct.pack("<I", 16) + fmt_body
-        + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
@@ -326,7 +339,7 @@ def wav_meta_for(doc_id: int) -> tuple[int, int, int]:
 
 
 def wav_payload_for(doc_id: int) -> bytes:
-    return build_wav(*wav_meta_for(doc_id))
+    return build_wav(*wav_meta_for(doc_id), seed=doc_id)
 
 
 def image_meta_for(doc_id: int) -> tuple[str, int, int]:

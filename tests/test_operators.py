@@ -154,9 +154,8 @@ def test_ivf_is_subset_of_brute_force_space(spark):
 
 
 def test_multimodal_sample_decode_is_gated(spark):
-    """Header metadata decodes for real (images, WAV, GIF frames); the
-    codec-needing sample/pixel decode stays gated at the exact call
-    site a real cluster would run the media libraries."""
+    """PCM decodes for real; NON-PCM payloads stay gated at the exact
+    call site a real cluster would run the media libraries."""
     from nreadability_spark.operators import multimodal
     from pyspark.sql import functions as F
 
@@ -165,6 +164,20 @@ def test_multimodal_sample_decode_is_gated(spark):
     df = multimodal.decode_samples(payloads)
     with pytest.raises(Exception, match="NotImplementedError|sample decode"):
         df.collect()
+
+
+def test_multimodal_pcm_decode_is_real():
+    """The PCM decoder must recover the exact planted int16 samples —
+    including layouts the synthesis formula never produces — and
+    return None (the gate signal) for non-PCM bytes."""
+    from nreadability_spark.operators.multimodal import decode_pcm_samples
+    from nreadability_spark.sources import synth
+
+    payload = synth.build_wav(44100, 2, 5, seed=123)
+    want = [synth.wav_sample_value(123, j) for j in range(10)]
+    assert decode_pcm_samples(payload) == want
+    assert decode_pcm_samples(b"ID3\x04compressed mp3 frame") is None
+    assert decode_pcm_samples(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
 
 
 def test_image_header_decode_is_real():
