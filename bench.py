@@ -34,6 +34,7 @@ HEADLINE = [
     "sim_knn_ivf",
     "sim_knn_pq",
     "sim_knn_ivf_pq",
+    "sim_knn_ivf_pq_residual",
     "multimodal_decode_meta",
     "multimodal_audio_meta",
     "rel_event_sessions",

@@ -803,23 +803,25 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K) -> DataFram
     )
 
 
-def _pq_slices_sql() -> str:
+def _pq_slices_sql(src: str = "base") -> str:
     slices = ", ".join(
         f"emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]" for m in range(PQ_M)
     )
     return (
         f"SELECT vec_id, CAST(unnest(range({PQ_M})) AS BIGINT) AS m, "
-        f"unnest([{slices}]) AS sv FROM base"
+        f"unnest([{slices}]) AS sv FROM {src}"
     )
 
 
-def _pq_cte_chain(iters: int = PQ_ITERS, include_base: bool = True) -> str:
+def _pq_cte_chain(iters: int = PQ_ITERS, include_base: bool = True, src: str = "base") -> str:
     """base + sub + unrolled per-subspace Lloyd CTEs ending at
     ``pc{iters}`` (m, cent_id, c). ``include_base=False`` composes with
-    a caller that already defined ``base`` (the IVF+PQ oracle)."""
+    a caller that already defined ``base`` (the IVF+PQ oracle); ``src``
+    selects the (vec_id, emb) table the subvectors slice (the residual
+    oracle points it at the residual CTE)."""
     d = _l2sq_sql("s.sv", "c.c")
     parts = [
-        f"sub AS MATERIALIZED ({_pq_slices_sql()})",
+        f"sub AS MATERIALIZED ({_pq_slices_sql(src)})",
         f"pc0 AS (SELECT m, vec_id AS cent_id, sv AS c FROM sub WHERE vec_id < {PQ_K})",
     ]
     if include_base:
@@ -914,9 +916,11 @@ def knn_ivf_pq(
     index table, bytes per vector) -> query probes ``nprobe`` cells and
     ranks candidates by ADC BIGINT sums. The search touches raw floats
     only for the M x K codebook distance table; every per-vector
-    operation is a code lookup. Simplification vs FAISS noted: PQ is
-    trained on raw vectors, not per-cell residuals (residual PQ needs a
-    second fit keyed by cell; the plumbing is identical)."""
+    operation is a code lookup. This variant trains PQ on RAW vectors
+    (kept for the direct A/B); ``knn_ivf_pq_residual`` is the standard
+    IVFADC layout (PQ over vec - coarse centroid, per-cell ADC
+    tables), with strictly lower reconstruction error — see
+    ``test_residual_pq_strictly_improves_reconstruction``."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _dvec(F.col("embedding")).alias("e")
     )
@@ -1026,6 +1030,174 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, CAST(cell AS BIGINT) AS cell,
 """
 
 
+# --- residual IVF+PQ (the standard IVFADC layout) ----------------------
+
+def _residual_vectors(emb: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(vec_id, cell, e): each vector replaced by its RESIDUAL vs the
+    coarse centroid of its cell (vec - c_cell) — the IVFADC encoding of
+    Jegou et al. 2011 §III: residuals have strictly less energy than
+    raw vectors (the cell mean is removed), so the same PQ budget
+    quantizes them with lower reconstruction error and the ADC
+    estimates tighten."""
+    assigned = _assign_to_centroids(emb, coarse)
+    return assigned.join(
+        F.broadcast(coarse), assigned.cell == coarse.cent_id
+    ).select(
+        "vec_id", "cell", F.zip_with("e", "c", lambda x, y: x - y).alias("e")
+    )
+
+
+def knn_ivf_pq_residual(
+    spark: SparkSession, sf_dir: str, k: int = IVF_TOP_K, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the exact FAISS ``IVFx,PQy``
+    layout that ``knn_ivf_pq`` simplifies away: the PQ codebook is
+    fitted on residuals (vec - coarse centroid), the inverted lists
+    store residual codes, and the query builds a SEPARATE ADC distance
+    table per probed cell from its own residual (q - c_cell) — so the
+    table is nprobe x M x K entries, still a broadcast-sized model.
+    Everything else keeps the composed plan's scale shape: the search
+    touches raw floats only for the distance tables; per-vector work is
+    code lookups and a BIGINT sum."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    coarse = fit_centroids(spark, sf_dir)
+    res = _residual_vectors(emb, coarse)
+    book = fit_pq_codebook(res.select("vec_id", "e"))
+    # index build: inverted lists of residual PQ codes
+    codes = _pq_assign(_subvectors(res.select("vec_id", "e")), book).select(
+        "vec_id", "m", "code"
+    )
+    index = res.select("vec_id", "cell").join(codes, "vec_id")
+    # query side: nprobe nearest cells, then one ADC table PER CELL
+    # from the query's residual against that cell's centroid
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    qscored = q.crossJoin(F.broadcast(coarse)).select(
+        "cent_id", "c", _cosine(F.col("e"), F.col("c")).alias("ccos")
+    )
+    wp = Window.orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    probe = (
+        qscored.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= nprobe)
+        .select(F.col("cent_id").alias("cell"), "c")
+    )
+    q_res = probe.crossJoin(F.broadcast(q.select(F.col("e").alias("qe")))).select(
+        "cell", F.zip_with("qe", "c", lambda x, y: x - y).alias("e")
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("e"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+    )
+    q_sub = q_res.select("cell", F.posexplode(slices).alias("m", "qv"))
+    dtable = q_sub.join(F.broadcast(book), "m").select(
+        "cell",
+        "m",
+        F.col("cent_id").alias("code"),
+        F.round(_l2sq(F.col("qv"), F.col("c")) * PQ_MICRO)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    adist = (
+        index.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(dtable), ["cell", "m", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.orderBy("adist_micro", "vec_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "adist_micro",
+        )
+        .orderBy("rank")
+    )
+
+
+def knn_ivf_pq_residual_sql(
+    k: int = IVF_TOP_K,
+    nprobe: int = IVF_NPROBE,
+    c: int = IVF_CENTROIDS,
+    kmeans_iters: int = KMEANS_ITERS,
+    pq_iters: int = PQ_ITERS,
+) -> str:
+    ccos = _cosine_sql("e.emb", "c.c")
+    d = _l2sq_sql("s.sv", "c.c")
+    dq = _l2sq_sql("q.sv", "c.c")
+    res_expr = f"list_transform(range(1, {DIM + 1}), i -> e.emb[i] - c.c[i])"
+    qres_expr = f"list_transform(range(1, {DIM + 1}), i -> q.emb[i] - c.c[i])"
+    qslices = ", ".join(
+        f"emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]" for m in range(PQ_M)
+    )
+    return f"""WITH {_kmeans_cte_chain(c, kmeans_iters)},
+coarse_scored AS MATERIALIZED (
+  SELECT e.vec_id, c.cent_id, {ccos} AS ccos FROM base e, c{kmeans_iters} c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM coarse_scored
+  ) t WHERE r = 1
+),
+res AS MATERIALIZED (
+  SELECT e.vec_id, a.cell, {res_expr} AS emb
+  FROM base e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN c{kmeans_iters} c ON c.cent_id = a.cell
+),
+{_pq_cte_chain(pq_iters, include_base=False, src="res")},
+codes AS MATERIALIZED (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT s.vec_id, s.m, c.cent_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d}, c.cent_id) AS r
+    FROM sub s JOIN pc{pq_iters} c ON s.m = c.m
+  ) t WHERE r = 1
+),
+probe AS (
+  SELECT cent_id AS cell FROM (
+    SELECT cent_id, row_number() OVER (ORDER BY ccos DESC, cent_id) AS r
+    FROM coarse_scored WHERE vec_id = {QUERY_VEC_ID}
+  ) t WHERE r <= {nprobe}
+),
+qres AS (
+  SELECT p.cell, {qres_expr} AS emb
+  FROM probe p
+  JOIN c{kmeans_iters} c ON c.cent_id = p.cell,
+  (SELECT emb FROM base WHERE vec_id = {QUERY_VEC_ID}) q
+),
+qsub AS (
+  SELECT cell, CAST(unnest(range({PQ_M})) AS BIGINT) AS m,
+         unnest([{qslices}]) AS sv
+  FROM qres
+),
+dtable AS (
+  SELECT q.cell, q.m, c.cent_id AS code,
+         CAST(round({dq} * {PQ_MICRO}) AS BIGINT) AS d_micro
+  FROM qsub q JOIN pc{pq_iters} c ON q.m = c.m
+),
+adist AS (
+  SELECT a.vec_id, a.cell, sum(dt.d_micro) AS adist_micro
+  FROM assigned a
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN dtable dt ON dt.cell = a.cell AND dt.m = cd.m AND dt.code = cd.code
+  WHERE a.vec_id != {QUERY_VEC_ID}
+  GROUP BY a.vec_id, a.cell
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(adist_micro AS BIGINT) AS adist_micro FROM (
+  SELECT vec_id, cell, adist_micro,
+         row_number() OVER (ORDER BY adist_micro, vec_id) AS rank
+  FROM adist
+) r WHERE rank <= {k} ORDER BY rank
+"""
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_knn_ivf": knn_ivf_fitted,
@@ -1035,6 +1207,7 @@ QUERIES = {
     "sim_pq_codes": pq_codes,
     "sim_knn_pq": knn_pq_adc,
     "sim_knn_ivf_pq": knn_ivf_pq,
+    "sim_knn_ivf_pq_residual": knn_ivf_pq_residual,
     "dedup_embedding_cosine": embedding_near_dups,
 }
 
@@ -1047,5 +1220,6 @@ ORACLES = {
     "sim_pq_codes": pq_codes_sql(),
     "sim_knn_pq": knn_pq_adc_sql(),
     "sim_knn_ivf_pq": knn_ivf_pq_sql(),
+    "sim_knn_ivf_pq_residual": knn_ivf_pq_residual_sql(),
     "dedup_embedding_cosine": embedding_near_dups_sql(),
 }

@@ -153,6 +153,37 @@ def test_ivf_is_subset_of_brute_force_space(spark):
         assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-9
 
 
+def test_residual_pq_strictly_improves_reconstruction(spark):
+    """The reason IVFADC encodes residuals (Jegou et al. 2011 §III):
+    subtracting the coarse centroid removes the cell-mean energy, so
+    the same M x K codebook budget quantizes residuals with strictly
+    lower total reconstruction error than raw vectors — the quantity
+    that bounds the ADC distance-estimate error. Asserted on the real
+    fitted codebooks, not a toy."""
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.operators import similarity as sim
+
+    emb = sim.load_embeddings(spark, SF_DIR).select(
+        "vec_id", sim._dvec(F.col("embedding")).alias("e")
+    )
+    raw_book = sim.fit_pq_codebook(emb)
+    raw_err = (
+        sim._pq_assign(sim._subvectors(emb), raw_book)
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    coarse = sim.fit_centroids(spark, SF_DIR)
+    res = sim._residual_vectors(emb, coarse).select("vec_id", "e")
+    res_book = sim.fit_pq_codebook(res)
+    res_err = (
+        sim._pq_assign(sim._subvectors(res), res_book)
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    assert res_err < raw_err
+
+
 def test_multimodal_sample_decode_is_gated(spark):
     """PCM decodes for real; NON-PCM payloads stay gated at the exact
     call site a real cluster would run the media libraries."""
