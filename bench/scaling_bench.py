@@ -227,6 +227,16 @@ def write_report(out_path, results, conc, levels, convs):
     )
     eff_rows = "\n".join(f"| {k} | {v} |" for k, v in effs.items())
 
+    # every rewrite re-appends the planted-skew section so a scaling
+    # re-measure never drops bench/skew_bench.py's results from the
+    # repo's one benchmark document
+    def _skew_section():
+        p = out_path.parent.parent / "bench" / "SKEW.md"
+        try:
+            return "\n" + p.read_text()
+        except OSError:
+            return ""
+
     # the full report renders the protocol-A headline "{tps32} at
     # local[32]" — a subset re-measure without level 32 (e.g.
     # --levels 4,8,16 with the control) must NOT take that path, or it
@@ -241,6 +251,7 @@ def write_report(out_path, results, conc, levels, convs):
                 for c, r in results.items()
             )
             + "\n"
+            + _skew_section()
         )
         return {"levels": {str(c): r for c, r in results.items()}, "efficiency": effs}
 
@@ -332,7 +343,7 @@ adds its own memory bandwidth, which is the regime the 4->16 pair
   sink. All Python workers warmed; one untimed steady-state pass;
   best of 3 timed.
 - Regenerate: `python bench/scaling_bench.py`.
-""")
+""" + _skew_section())
     return {
         "efficiency": effs,
         "results": {str(k): v for k, v in results.items()},

@@ -1293,7 +1293,10 @@ def _rendered_lines(docs: DataFrame) -> DataFrame:
 
 
 def line_dedup(
-    spark: SparkSession, sf_dir: str, min_docs: int = LINE_BOILER_MIN_DOCS
+    spark: SparkSession,
+    sf_dir: str,
+    min_docs: int = LINE_BOILER_MIN_DOCS,
+    boiler_salt: int = 0,
 ) -> DataFrame:
     """CCNet/RefinedWeb-style cross-document line deduplication: a line
     whose distinct-document frequency reaches ``min_docs`` is
@@ -1302,14 +1305,34 @@ def line_dedup(
 
     Scale shape (100 TB): lines key by their 60-bit hash, never the
     string. Doc-frequency is distinct (line_h, doc_id) pairs (map-side
-    partial dedup) then one count per line_h; the frequency table joins
-    back to the exploded lines co-partitioned on line_h — a shuffle
-    hash join whose probe side carries (doc_id, pos, line). The
-    promo-in-every-document key is the designed heavy hitter: its
-    frequency row is one (line_h, count) record, and AQE skew-join
-    splits the probe side if a single line_h partition outgrows the
-    rest. Rebuild is one hash agg keyed by doc_id with an in-array
-    sort — no global window."""
+    partial dedup) then one count per line_h. The tag-back join runs
+    against only the BOILERPLATE keys (``doc_freq >= min_docs``), not
+    the full frequency table — downstream needs just the boolean. That
+    changes the skew story materially (bench/skew_bench.py measured the
+    previous shape's claim and found it false):
+
+    - While the boiler-key table fits, AQE converts the join to a
+      runtime BROADCAST hash join, so the wide exploded-lines side
+      never shuffles on ``line_h`` AT ALL — the promo-in-every-document
+      heavy hitter can't produce a hot partition that never exists.
+    - When the boiler set outgrows broadcast, the fallback is a shuffle
+      join, and the planted hot key IS real there. The AQE skew-join
+      backstop CANNOT fire on this plan: it only pattern-matches joins
+      whose children are bare ENSURE_REQUIREMENTS shuffle stages, and
+      the boiler side is ``filter(agg(...))`` running co-partitioned
+      with no exchange under the join at all (measured in
+      bench/skew_bench.py: 0 skew splits at any threshold; an explicit
+      ``repartition(line_h)`` doesn't help either — AQE exempts
+      user-specified repartitions from skew/coalesce rewriting). The
+      deterministic mitigation is ``boiler_salt=S``: the boiler side
+      explodes each key S ways, the probe salts on
+      ``pmod(xxhash64(doc_id, pos), S)``, and the hot key's probe rows
+      spread over S partitions by construction — planner-independent,
+      exact, costing only S copies of the (aggregated, narrow) boiler
+      table.
+
+    Rebuild is one hash agg keyed by doc_id with an in-array sort — no
+    global window."""
     docs = load_documents(spark, sf_dir)
     lines = _rendered_lines(docs)
     e = lines.select(
@@ -1321,8 +1344,24 @@ def line_dedup(
         .groupBy("line_h")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
-    tagged = e.join(freq, "line_h").withColumn(
-        "is_boiler", (F.col("doc_freq") >= F.lit(min_docs))
+    boiler = freq.where(F.col("doc_freq") >= F.lit(min_docs)).select(
+        "line_h", F.lit(True).alias("_boiler")
+    )
+    if boiler_salt > 1:
+        boiler = boiler.select(
+            "line_h",
+            "_boiler",
+            F.explode(F.sequence(F.lit(0), F.lit(boiler_salt - 1))).alias("_salt"),
+        )
+        probe = e.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("doc_id", "pos"), F.lit(boiler_salt)).cast("int"),
+        )
+        tagged = probe.join(boiler, ["line_h", "_salt"], "left")
+    else:
+        tagged = e.join(boiler, "line_h", "left")
+    tagged = tagged.withColumn(
+        "is_boiler", F.coalesce(F.col("_boiler"), F.lit(False))
     )
     return (
         tagged.groupBy("doc_id")

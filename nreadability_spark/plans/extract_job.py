@@ -83,7 +83,10 @@ def with_conv_offsets_two_phase(df, block_size=1024, length_col="content_text"):
     ``conv_offset = block_prefix + within_block_prefix``. Exactly
     equals the single-window result (tests assert it).
     """
-    blk = (F.col("turn_idx") / F.lit(block_size)).cast("long")
+    # integer div (not double division + cast — exact only below 2^53;
+    # turn_idx is int32 today, but the offset arithmetic pattern is
+    # uniform with sequence_packing's, which does exceed it)
+    blk = F.expr(f"turn_idx div {block_size}")
     out = df.withColumn("_blk", blk).withColumn(
         "_len", F.coalesce(F.length(length_col).cast("long"), F.lit(0))
     )

@@ -581,10 +581,11 @@ def payload_for(conv_idx, turn_idx, fixtures):
     return _chat_text(conv_idx, turn_idx)
 
 
-def generate_conversation(conv_idx, fixtures, long_every=97):
+def generate_conversation(conv_idx, fixtures, long_every=97, n_turns=None):
     """All rows of one conversation, as plain tuples."""
     rows = []
-    n_turns = _turn_count(conv_idx, long_every=long_every)
+    if n_turns is None:
+        n_turns = _turn_count(conv_idx, long_every=long_every)
     conv_id = f"conv{conv_idx:08d}"
     for turn_idx in range(n_turns):
         role = _ROLES[turn_idx % 3]
@@ -623,6 +624,64 @@ def transcripts_df(spark, n_convs, long_every=97, num_partitions=None):
         spark.range(0, n_convs, numPartitions=num_partitions)
         .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
     )
+
+
+def transcripts_skewed_df(spark, n_convs, giant_turns=7000, num_partitions=None):
+    """DELIBERATELY skewed transcripts: conversation 0 carries
+    ``giant_turns`` turns (10^2-10^3x the ~7-turn median) while every
+    other conversation stays short — the planted hot key for the skew
+    benchmark (``bench/skew_bench.py``). Same deterministic payload mix
+    as ``transcripts_df``."""
+    import pandas as pd
+
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        fixtures = load_fixture_payloads()
+        columns = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        for batch in batches:
+            for conv_idx in batch["id"]:
+                idx = int(conv_idx)
+                rows = generate_conversation(
+                    idx, fixtures, long_every=0,
+                    n_turns=giant_turns if idx == 0 else None,
+                )
+                yield pd.DataFrame(rows, columns=columns)
+
+    return (
+        spark.range(0, n_convs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+    )
+
+
+def materialize_skewed_transcripts(
+    spark, n_convs, giant_turns=7000, num_partitions=None, cache_root=None
+) -> str:
+    """Materialized (cached) skewed-transcripts parquet for the skew
+    benchmark. Written with the generator's range partitioning, so the
+    giant conversation's rows land in ONE output file — a few MB, below
+    ``spark.sql.files.maxPartitionBytes``, hence ONE scan task on
+    re-read. That concentration is the point: it reproduces at bench
+    scale the hot-key layout a 100 TB crawl shows when one key's rows
+    arrive clustered (same crawl shard, same upstream partition), which
+    is exactly what the job's ``xxhash64(conv_id, turn_idx)`` salting
+    shuffle exists to undo."""
+    root = cache_root or _CACHE_ROOT
+    path = os.path.join(
+        root, "skew", _synth_version(), f"t{n_convs}_g{giant_turns}"
+    )
+    if os.path.isdir(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    transcripts_skewed_df(
+        spark, n_convs, giant_turns=giant_turns, num_partitions=num_partitions
+    ).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return path
 
 
 def write_transcripts(spark, n_convs, path, long_every=97, num_partitions=None):

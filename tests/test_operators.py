@@ -1301,6 +1301,33 @@ def test_line_dedup_below_threshold_keeps_lines(spark, tmp_path):
     assert all("navigation" in r["clean_text"] for r in out)
 
 
+def test_line_dedup_salted_equals_plain(spark):
+    """boiler_salt is a pure partitioning change: salted and plain
+    paths must produce identical rows (the salt spreads the hot key's
+    probe rows over S join partitions by construction — the
+    deterministic fallback where the AQE skew rule structurally cannot
+    fire, see bench/skew_bench.py)."""
+    from nreadability_spark.operators import textops
+
+    plain = textops.line_dedup(spark, SF_DIR).collect()
+    salted = textops.line_dedup(spark, SF_DIR, boiler_salt=8).collect()
+    assert [r.asDict() for r in plain] == [r.asDict() for r in salted]
+
+
+def test_line_dedup_tag_join_broadcasts(spark):
+    """At sandbox scale the boiler-key tag join must plan as a
+    broadcast hash join — the wide exploded-lines side then never
+    shuffles on line_h, so the every-document hot key cannot produce a
+    hot partition."""
+    from nreadability_spark.operators import textops
+
+    plan = (
+        textops.line_dedup(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_approx_distinct_matches_oracle(spark, duck):
     from nreadability_spark.plans import relational
 
