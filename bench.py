@@ -35,6 +35,7 @@ HEADLINE = [
     "sim_knn_pq",
     "sim_knn_ivf_pq",
     "sim_knn_ivf_pq_residual",
+    "sim_semantic_dedup",
     "multimodal_decode_meta",
     "multimodal_audio_meta",
     "rel_event_sessions",

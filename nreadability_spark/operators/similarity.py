@@ -1198,6 +1198,185 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, CAST(cell AS BIGINT) AS cell,
 """
 
 
+# --- SemDeDup: semantic deduplication over embedding clusters ----------
+
+# Data-calibrated: the synth corpus's planted near-duplicate pairs sit
+# above 0.4 cosine while the same-cell background tops out ~0.41 at the
+# 99.9th percentile (measured at sf0.01). Real encoders (the paper uses
+# OpenCLIP / OPT embeddings) concentrate much higher — there eps is
+# 0.95+; the knob, not the value, is the operator.
+SEMDEDUP_EPS = COSINE_DUP_THRESHOLD
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    eps: float = SEMDEDUP_EPS,
+    strategy: str = "auto",
+    n_salts: int = NEAR_DUP_SALTS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then inside each cluster drop every vector
+    that is eps-cosine-close to a vector ranked BEFORE it. Rank order
+    follows the paper: ascending cosine-to-centroid (the most atypical
+    member of each semantic group survives), ties by vec_id. The rule
+    is the paper's released implementation — "dominated by any
+    earlier-ranked eps-neighbor", not transitive closure — so it is
+    non-recursive and exactly SQL-expressible.
+
+    Returns one row per vector: (vec_id, cell, ccos, kept).
+
+    Scale shape (100 TB):
+    - the cluster fit is the existing distributed Lloyd job
+      (``fit_centroids``; in production the parquet model table from
+      jobs/fit_models.py) — the paper scales K with N so cluster
+      size stays roughly constant, which bounds BOTH the per-cell rank
+      window and the intra-cell pair volume (O(N^2/K) total);
+    - pair enumeration reuses the near-dup strategies: size-gated
+      broadcast self-join at small scale, salted block-pair SHUFFLE
+      join (``block_pairs``, similarity.py near-dups) when the
+      assigned table outgrows the broadcast budget — per-task memory
+      is one sub-block pair, never a cell;
+    - the dominated set is a distinct (vec_id) anti-join back — one
+      narrow shuffle keyed by vec_id.
+    """
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    cents = fit_centroids(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cent_id", _cosine(F.col("e"), F.col("c")).alias("ccos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        # round BEFORE ranking: the rank order must be reproducible
+        # across engines, and 1e-16 summation noise would reorder
+        # near-equal centroid cosines
+        .select(
+            "vec_id", "e", F.col("cent_id").alias("cell"),
+            F.round("ccos", 6).alias("ccos"),
+        )
+    )
+    w_rank = Window.partitionBy("cell").orderBy(F.col("ccos").asc(), F.col("vec_id"))
+    # norm precomputed once: the pair stage then pays ONE dot per pair
+    # instead of three (same trick as the near-dup kernel)
+    ranked = assigned.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "nn", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+
+    def _pair_cos(a_side, b_side):
+        return F.round(
+            _dot(F.col(f"{a_side}.e"), F.col(f"{b_side}.e"))
+            / F.greatest(
+                F.col(f"{a_side}.nn") * F.col(f"{b_side}.nn"), F.lit(1e-300)
+            ),
+            6,
+        )
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if 0 < _input_bytes(load_embeddings(spark, sf_dir)) <= BROADCAST_PAIR_JOIN_MAX_BYTES
+            else "block_pairs"
+        )
+    if strategy == "broadcast":
+        a, b = ranked.alias("a"), ranked.alias("b")
+        joined = a.join(
+            F.broadcast(b),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rnk") < F.col("b.rnk")),
+        )
+        dominated = (
+            joined.where(_pair_cos("a", "b") >= F.lit(eps))
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+    else:
+        # salted block-pair shuffle join (same key construction as
+        # embedding_near_dups); every unordered same-cell pair meets
+        # exactly once, then the LATER-ranked member is the dominated one
+        salted = ranked.withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+        )
+        side_a = salted.select(
+            "*", F.col("salt").alias("bi"),
+            F.explode(F.sequence(F.col("salt"), F.lit(n_salts - 1))).alias("bj"),
+        ).alias("a")
+        side_b = salted.select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("bi"),
+            F.col("salt").alias("bj"),
+        ).alias("b")
+        joined = side_a.join(
+            side_b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bj") == F.col("b.bj"))
+            & ((F.col("a.bi") != F.col("a.bj")) | (F.col("a.rnk") < F.col("b.rnk"))),
+        )
+        dominated = (
+            joined.where(_pair_cos("a", "b") >= F.lit(eps))
+            .select(
+                F.when(F.col("a.rnk") < F.col("b.rnk"), F.col("b.vec_id"))
+                .otherwise(F.col("a.vec_id"))
+                .alias("vec_id")
+            )
+            .distinct()
+        )
+
+    return (
+        ranked.join(
+            dominated.withColumn("_dom", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            "ccos",
+            F.col("_dom").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_sql(
+    eps: float = SEMDEDUP_EPS,
+    k: int = IVF_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    ccos = _cosine_sql("e.emb", "c.c")
+    pdot = _dot_sql("i.emb", "j.emb")
+    return f"""
+WITH {_kmeans_cte_chain(k, iters)},
+sd_scored AS (
+  SELECT e.vec_id, e.emb, c.cent_id, {ccos} AS ccos FROM base e, c{iters} c
+),
+sd_assigned AS (
+  SELECT vec_id, emb, cent_id AS cell, round(ccos, 6) AS ccos FROM (
+    SELECT vec_id, emb, cent_id, ccos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM sd_scored
+  ) t WHERE r = 1
+),
+sd_ranked AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY ccos ASC, vec_id) AS rnk,
+         sqrt({_dot_sql('emb', 'emb')}) AS nn
+  FROM sd_assigned
+),
+sd_dominated AS (
+  SELECT DISTINCT j.vec_id
+  FROM sd_ranked i JOIN sd_ranked j
+    ON j.cell = i.cell AND i.rnk < j.rnk
+   AND round({pdot} / greatest(i.nn * j.nn, 1e-300), 6) >= {eps}
+)
+SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell, r.ccos,
+       (d.vec_id IS NULL) AS kept
+FROM sd_ranked r LEFT JOIN sd_dominated d ON d.vec_id = r.vec_id
+ORDER BY r.vec_id
+"""
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_knn_ivf": knn_ivf_fitted,
@@ -1208,6 +1387,7 @@ QUERIES = {
     "sim_knn_pq": knn_pq_adc,
     "sim_knn_ivf_pq": knn_ivf_pq,
     "sim_knn_ivf_pq_residual": knn_ivf_pq_residual,
+    "sim_semantic_dedup": semantic_dedup,
     "dedup_embedding_cosine": embedding_near_dups,
 }
 
@@ -1221,5 +1401,6 @@ ORACLES = {
     "sim_knn_pq": knn_pq_adc_sql(),
     "sim_knn_ivf_pq": knn_ivf_pq_sql(),
     "sim_knn_ivf_pq_residual": knn_ivf_pq_residual_sql(),
+    "sim_semantic_dedup": semantic_dedup_sql(),
     "dedup_embedding_cosine": embedding_near_dups_sql(),
 }

@@ -594,6 +594,33 @@ def test_near_dup_block_pairs_equals_broadcast_no_broadcast_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_semantic_dedup_matches_oracle(spark, duck):
+    from nreadability_spark.operators import similarity
+
+    assert_matches_oracle(
+        similarity.semantic_dedup(spark, SF_DIR),
+        similarity.semantic_dedup_sql(),
+        duck,
+    )
+
+
+def test_semantic_dedup_strategies_agree_and_rule_holds(spark):
+    """block_pairs must equal broadcast exactly, and the SemDeDup keep
+    rule must hold row-by-row: a vector is dropped iff some
+    earlier-ranked vector in its cell is eps-close (rank = ccos asc,
+    vec_id; the paper's released dominated-by-any-earlier rule, not
+    transitive closure)."""
+    from nreadability_spark.operators import similarity
+
+    bc = similarity.semantic_dedup(spark, SF_DIR, strategy="broadcast").collect()
+    bp = similarity.semantic_dedup(spark, SF_DIR, strategy="block_pairs").collect()
+    assert [r.asDict() for r in bc] == [r.asDict() for r in bp]
+    # non-vacuous at the test SF: the planted near-dups must drop
+    dropped = [r for r in bc if not r["kept"]]
+    assert dropped, "eps is miscalibrated: nothing was deduplicated"
+    assert any(r["kept"] for r in bc)
+
+
 def test_near_dup_block_pairs_no_duplicate_pairs(spark):
     """Every unordered same-cell pair must be matched exactly once by
     the block-pair explode scheme (i==j needs the id-order guard)."""
