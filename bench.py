@@ -36,6 +36,7 @@ HEADLINE = [
     "sim_knn_ivf_pq",
     "sim_knn_ivf_pq_residual",
     "sim_semantic_dedup",
+    "text_dsir_select",
     "multimodal_decode_meta",
     "multimodal_audio_meta",
     "rel_event_sessions",

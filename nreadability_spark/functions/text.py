@@ -169,7 +169,8 @@ def positional_shingle_hashes_sql(table: str, n: int = 3, text_expr: str = "text
         f"lead(tok, {i}) OVER (PARTITION BY {id_col} ORDER BY pos)" for i in range(1, n)
     ]
     lead_cols = ", ".join(f"{e} AS t{j}" for j, e in enumerate(leads))
-    non_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n))
+    # n=1 has no lead columns to null-check (unigram hashes)
+    non_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n)) or "TRUE"
     concat = " || ' ' || ".join(f"t{j}" for j in range(n))
     return (
         f"SELECT {id_col}, pos, {hashing.h60_sql(f'({concat})')} AS sh60 "

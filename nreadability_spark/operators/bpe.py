@@ -133,31 +133,37 @@ def bpe_fit(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataF
 
 
 def bpe_encode(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS) -> DataFrame:
-    """Per-document subword statistics under the fitted merge list,
-    applied MAP-SIDE: the model shipped to executors is the R merges
-    (compiled into R chained ``_merge_fold`` expressions), never the
-    corpus-cardinality word table — that table grows with the corpus
-    (Heaps' law) and broadcasting it OOMs at 100 TB. Re-applying the
-    merges in rank order to a fresh character split reproduces the
-    fitted word table's segmentation exactly (each fit round applied
-    its merge exhaustively to the then-current table, and the fold is
-    the same deterministic function of the word). Folds run once per
-    per-doc distinct word (pre-aggregated), not per occurrence."""
+    """Per-document subword statistics under the fitted merge list.
+
+    Scale shape (100 TB): the fit already paid the R merge folds ONCE
+    PER GLOBAL DISTINCT WORD — its final word table IS the vocabulary
+    with each word's segmentation. Encode reuses it as a narrow
+    (word, n_sub) table joined back to the per-document word counts via
+    a co-partitioned SHUFFLE join on ``word`` — never a broadcast: the
+    distinct-word table grows ~Heaps-law with the corpus (unbounded at
+    100 TB), so a broadcast OOMs while the shuffle join just
+    co-partitions two tables Spark was shuffling anyway (AQE still
+    converts to a runtime broadcast when the vocab actually fits —
+    size-gating by measured stats, not by hope). The earlier map-side
+    alternative (re-applying the R folds per (doc, word) row) is
+    shuffle-free but pays the fold CPU once per document-word instead
+    of once per distinct word — measured 3-4x slower at sf0.1, and the
+    gap widens with corpus size since doc-word pairs grow linearly
+    while distinct words grow sub-linearly."""
     docs = _load_documents(spark, sf_dir)
-    merges, _ = fit_merges(word_table(docs), rounds)
+    _, words = fit_merges(word_table(docs), rounds)
+    vocab = words.select("word", F.size("syms").cast("long").alias("n_sub"))
     doc_words = (
         docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("occ"))
-        .withColumn("syms", F.split("word", ""))
     )
-    for _rank, l, r, _merged, _c in merges:
-        doc_words = doc_words.withColumn("syms", _merge_fold(l, r))
     return (
-        doc_words.groupBy("doc_id")
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
         .agg(
             F.sum("occ").alias("n_words"),
-            F.sum(F.col("occ") * F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.col("occ") * F.col("n_sub")).cast("long").alias("n_bpe_tokens"),
             F.sum(F.col("occ") * F.length("word")).cast("long").alias("n_chars"),
         )
         .withColumn(

@@ -1707,6 +1707,173 @@ ORDER BY source, rank
 """
 
 
+# --- DSIR: data selection via importance resampling --------------------
+
+DSIR_BUCKETS = 512        # hashed n-gram feature space (paper: 10^4)
+DSIR_TARGET_SOURCE = "src0"  # the "target distribution" sample
+DSIR_TOP_K = 64           # deterministic selection size
+DSIR_MICRO = 1_000_000    # fixed-point grain (log10 in millionths)
+
+
+def dsir_select(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much its hashed n-gram profile looks like a TARGET
+    distribution rather than the raw corpus, then keep the top-k.
+
+    Features are per-occurrence unigram+bigram 60-bit hashes bucketed
+    mod ``buckets``. Bucket models are add-1-smoothed: the importance
+    weight of bucket b is log10((t_b+1)/(T+B)) - log10((r_b+1)/(R+B)),
+    each log rounded to MICRO fixed point (the proven unigram-LM
+    pattern, applied twice) so the per-document score is an exact
+    BIGINT sum, independent of partition/summation order. Selection is
+    deterministic top-k by (score desc, doc_id): the k-th row is found
+    with two TakeOrderedAndProject passes (never a global sort) and
+    broadcast for the flag comparison. The paper resamples with Gumbel
+    noise; the deterministic argmax-k is that procedure at temperature
+    zero, which is what an oracle-checkable engine should ship (seeded
+    Gumbel keys could be added as one extra column).
+
+    Scale shape (100 TB): the feature stage is the shared map-side
+    shingle-hash transform (zero shuffles); the raw/target bucket
+    counts are ONE hash agg over B buckets (the target flag rides a
+    co-partitioned join with the narrow (doc_id, source) projection);
+    the B-row model broadcasts; scoring is one hash agg keyed by
+    doc_id. Nothing scales with corpus size except the two keyed
+    shuffles Spark needs anyway."""
+    docs = load_documents(spark, sf_dir)
+    uni = tx.positional_shingle_hashes(docs, n=1)
+    bi = tx.positional_shingle_hashes(docs, n=2)
+    feats = (
+        uni.select("doc_id", "sh60")
+        .unionByName(bi.select("doc_id", "sh60"))
+        .select("doc_id", F.pmod("sh60", F.lit(buckets)).alias("b"))
+    )
+    flagged = feats.join(
+        docs.select(
+            "doc_id", (F.col("source") == target_source).alias("is_t")
+        ),
+        "doc_id",
+    )
+    counts = flagged.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.col("is_t").cast("long")).alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").cast("double").alias("r_tot"),
+        F.sum("t_cnt").cast("double").alias("t_tot"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.round(
+                F.log10(
+                    (F.col("t_cnt") + F.lit(1.0))
+                    / (F.col("t_tot") + F.lit(float(buckets)))
+                )
+                * DSIR_MICRO
+            ).cast("long")
+            - F.round(
+                F.log10(
+                    (F.col("r_cnt") + F.lit(1.0))
+                    / (F.col("r_tot") + F.lit(float(buckets)))
+                )
+                * DSIR_MICRO
+            ).cast("long")
+        ).alias("lw_micro"),
+    )
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum("lw_micro").cast("long").alias("dsir_micro"),
+        )
+    )
+    kth = (
+        scored.orderBy(F.col("dsir_micro").desc(), F.col("doc_id"))
+        .limit(top_k)
+        .orderBy(F.col("dsir_micro").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(
+            F.col("dsir_micro").alias("kth_micro"),
+            F.col("doc_id").alias("kth_doc"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(kth))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "dsir_micro",
+            (
+                (F.col("dsir_micro") > F.col("kth_micro"))
+                | (
+                    (F.col("dsir_micro") == F.col("kth_micro"))
+                    & (F.col("doc_id") <= F.col("kth_doc"))
+                )
+            ).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_select_sql(
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    top_k: int = DSIR_TOP_K,
+) -> str:
+    u1 = tx.positional_shingle_hashes_sql("documents", n=1)
+    u2 = tx.positional_shingle_hashes_sql("documents", n=2)
+    m = DSIR_MICRO
+    return f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id, sh60 % {buckets} AS b FROM ({u1}) f1
+  UNION ALL
+  SELECT doc_id, sh60 % {buckets} AS b FROM ({u2}) f2
+),
+counts AS (
+  SELECT b, count(*) AS r_cnt,
+         sum(CASE WHEN d.source = '{target_source}' THEN 1 ELSE 0 END) AS t_cnt
+  FROM feats JOIN documents d USING (doc_id)
+  GROUP BY b
+),
+totals AS (
+  SELECT CAST(sum(r_cnt) AS DOUBLE) AS r_tot, CAST(sum(t_cnt) AS DOUBLE) AS t_tot
+  FROM counts
+),
+model AS (
+  SELECT b,
+         CAST(round(log10((t_cnt + 1.0) / (t_tot + {float(buckets)})) * {m}) AS BIGINT)
+       - CAST(round(log10((r_cnt + 1.0) / (r_tot + {float(buckets)})) * {m}) AS BIGINT)
+           AS lw_micro
+  FROM counts, totals
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(lw_micro) AS BIGINT) AS dsir_micro
+  FROM feats JOIN model USING (b)
+  GROUP BY doc_id
+),
+kth AS (
+  SELECT dsir_micro AS kth_micro, doc_id AS kth_doc FROM (
+    SELECT * FROM scored ORDER BY dsir_micro DESC, doc_id LIMIT {top_k}
+  ) t ORDER BY dsir_micro ASC, doc_id DESC LIMIT 1
+)
+SELECT s.doc_id, s.n_ngrams, s.dsir_micro,
+       (s.dsir_micro > k.kth_micro
+        OR (s.dsir_micro = k.kth_micro AND s.doc_id <= k.kth_doc)) AS selected
+FROM scored s, kth k
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -1728,6 +1895,7 @@ QUERIES = {
     "text_span_dedup": span_dedup,
     "text_tfidf_keywords": tfidf_keywords,
     "text_stratified_sample": stratified_sample,
+    "text_dsir_select": dsir_select,
 }
 
 ORACLES = {
@@ -1751,4 +1919,5 @@ ORACLES = {
     "text_span_dedup": span_dedup_sql(),
     "text_tfidf_keywords": tfidf_keywords_sql(),
     "text_stratified_sample": stratified_sample_sql(),
+    "text_dsir_select": dsir_select_sql(),
 }
