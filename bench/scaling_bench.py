@@ -321,18 +321,25 @@ bandwidth.
   (A-alone + B-alone) of **{ideal:.1f}** -> ratio **{agg / ideal:.2f}**
 - single-JVM 8->32 efficiency: {effs.get('8->32', 'n/a')}; through the
   two-JVM shape, (aggregate / local[8]) / 4 = **{two_jvm_eff}**
-- one local[32] JVM: {tps32} turns/sec (the single wide JVM actually
-  beats the two-JVM pair — the engine loses nothing to width; the box
-  loses to occupancy)
+- one local[32] JVM: {tps32} turns/sec ({
+    "the single wide JVM beats the two-JVM pair — the engine loses "
+    "nothing to width; the box loses to occupancy"
+    if tps32 is not None and tps32 >= agg else
+    "this session the two-JVM pair beats the single wide JVM — i.e. "
+    "the local[32] reading is pessimistic in this box state and the "
+    "8->32 number should be read through the two-JVM shape above"
+  })
 
-Measured outcome: the independent pair degrades to the same ballpark
-efficiency as the single wide JVM — an engine-independent,
-process-arrangement-independent ceiling at 32 busy cores. That is a
-box property (the no-Spark multiprocessing control shows per-process
-extraction slowing from memory-subsystem contention alone at 32-wide),
-not an engine property. On a real multi-executor cluster every node
-adds its own memory bandwidth, which is the regime the 4->16 pair
-(efficiency {effs.get('4->16', 'n/a')}) models.
+Measured outcome: which arrangement wins at 32 busy cores varies with
+box state across sessions (both orderings have been measured; the
+spread is the same 1.5-2x drift documented below), but BOTH
+arrangements consistently land far below 4x the local[8] throughput —
+the 32-wide ceiling is the box's shared memory subsystem (the no-Spark
+multiprocessing control shows per-process extraction slowing from
+memory contention alone at 32-wide), not the engine. On a real
+multi-executor cluster every node adds its own memory bandwidth, which
+is the regime the 4->16 pair (efficiency {effs.get('4->16', 'n/a')})
+models.
 
 - Input: deterministic synthetic transcripts ({convs} conversations,
   reference fixtures embedded, 1-in-97 conversations long/skewed),
