@@ -251,6 +251,7 @@ _CHECK_FIRST = (
     "sim_knn_ivf_pinned", "sim_centroid_fit", "sim_quantize_int8",
     "sim_pq_codes", "sim_knn_pq", "sim_knn_ivf_pq", "sim_knn_ivf_pq_residual",
     "sim_semantic_dedup", "text_dsir_select",
+    "multimodal_image_pixels", "multimodal_image_resize",
     "dedup_embedding_cosine", "multimodal_decode_meta",
     "multimodal_audio_meta", "multimodal_audio_samples",
     "multimodal_frame_sample", "extract_stitch_conversations",

@@ -38,6 +38,8 @@ HEADLINE = [
     "sim_semantic_dedup",
     "text_dsir_select",
     "multimodal_decode_meta",
+    "multimodal_image_pixels",
+    "multimodal_image_resize",
     "multimodal_audio_meta",
     "rel_event_sessions",
     "rel_asof_join",

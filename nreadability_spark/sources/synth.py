@@ -246,6 +246,79 @@ def build_gif(width: int, height: int) -> bytes:
 
 _IMAGE_BUILDERS = {"png": build_png, "jpeg": build_jpeg, "gif": build_gif}
 
+
+# --- fully-decodable RGB PNG corpus (pixel-level operators) -------------
+#
+# The header corpus above is dimension-real but content-free; the pixel
+# operators (channel stats, resize) need bitmaps a REAL decoder can
+# reconstruct. Three design constraints drive the layout:
+# - zlib STORED blocks (BTYPE=00), hand-packed: the payload length is
+#   then a closed-form function of the dims (no compressor variance),
+#   so n_bytes stays SQL-restatable;
+# - ROW-CONSTANT planted pixels: every channel sum/sample collapses to
+#   an H-bounded formula the DuckDB oracle can evaluate with range(h)
+#   instead of range(w*h);
+# - small true dims (<= 63x47): raw scanlines stay under one stored
+#   block (65535 B) and the whole corpus stays MBs, not GBs.
+
+
+def rgb_image_dims_for(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 48, 16 + doc_id % 32
+
+
+def png_row_rgb(seed: int, y: int) -> tuple[int, int, int]:
+    """The planted color of scanline ``y`` — closed form, restated by
+    the pixel oracles."""
+    return (
+        (7 * seed + 3 * y) % 256,
+        (11 * seed + 5 * y) % 256,
+        (13 * seed + 7 * y) % 256,
+    )
+
+
+def _zlib_stored(raw: bytes) -> bytes:
+    """zlib stream with uncompressed (stored) DEFLATE blocks — byte
+    length = 2 + 5*ceil(len/65535) + len + 4, deterministic forever."""
+    out = [b"\x78\x01"]
+    n = len(raw)
+    for i in range(0, max(n, 1), 65535):
+        chunk = raw[i : i + 65535]
+        final = 1 if i + 65535 >= n else 0
+        out.append(bytes([final]) + struct.pack("<HH", len(chunk), 0xFFFF ^ len(chunk)))
+        out.append(chunk)
+    out.append(struct.pack(">I", zlib.adler32(raw)))
+    return b"".join(out)
+
+
+def build_png_rgb(width: int, height: int, seed: int = 0) -> bytes:
+    """Fully-decodable 8-bit RGB PNG: filter-0 scanlines of the planted
+    row-constant colors, stored-zlib IDAT. Any spec-compliant PNG
+    decoder reconstructs the exact bitmap."""
+    rows = bytearray()
+    for y in range(height):
+        r, g, b = png_row_rgb(seed, y)
+        rows.append(0)  # filter type 0 (None)
+        rows.extend(bytes((r, g, b)) * width)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def rgb_png_n_bytes(width: int, height: int) -> int:
+    """Closed-form byte length of ``build_png_rgb`` output."""
+    raw = height * (1 + 3 * width)
+    idat = 2 + 5 * ((raw + 65534) // 65535) + raw + 4
+    return 8 + (12 + 13) + (12 + idat) + 12
+
+
+def rgb_image_payload_for(doc_id: int) -> bytes:
+    w, h = rgb_image_dims_for(doc_id)
+    return build_png_rgb(w, h, seed=doc_id)
+
 # minimal VALID single-pixel LZW image data (min code size 2, one
 # clear + one pixel + EOI) — the classic smallest-GIF payload
 _GIF_PIXEL_DATA = b"\x02\x02\x44\x01\x00"
@@ -413,6 +486,26 @@ def materialize_images(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "images.parquet", build, cache_root)
+
+
+def materialize_rgb_images(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) fully-decodable RGB PNG corpus for the
+    documents at ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [rgb_image_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "rgb_images", build)
 
 
 def materialize_gifs(spark, sf_dir, cache_root=None) -> str:

@@ -227,6 +227,96 @@ def test_image_header_decode_is_real():
         assert fmt == "unknown" and w is None and h is None
 
 
+def test_png_pixel_decode_handles_all_filter_types():
+    """The RGB decoder must reconstruct bitmaps from an INDEPENDENT
+    encoder using every PNG filter type (Sub/Up/Average/Paeth), not
+    just the filter-0 rows our synthesizer emits — and be total on
+    garbage and on declared-but-unsupported layouts."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nreadability_spark.operators.multimodal import decode_png_rgb8
+
+    px = ((np.arange(4 * 3 * 3).reshape(3, 4, 3) * 7) % 256).astype(np.uint8)
+    lines = [px[y].tobytes() for y in range(3)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def enc(ftype, line, prev):
+        out = bytearray()
+        for x in range(len(line)):
+            left = line[x - 3] if x >= 3 else 0
+            ul = prev[x - 3] if x >= 3 else 0
+            pred = {
+                1: left,
+                2: prev[x],
+                3: (left + prev[x]) >> 1,
+                4: paeth(left, prev[x], ul),
+            }[ftype]
+            out.append((line[x] - pred) & 0xFF)
+        return bytes([ftype]) + bytes(out)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b)
+        )
+
+    zero = bytes(12)
+    raw = (
+        enc(1, lines[0], zero)
+        + enc(2, lines[1], lines[0])
+        + enc(4, lines[2], lines[1])
+    )
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, rows = decode_png_rgb8(data)
+    assert (w, h) == (4, 3) and rows == lines
+    # average filter variant
+    raw2 = bytes([0]) + lines[0] + enc(3, lines[1], lines[0]) + enc(
+        2, lines[2], lines[1]
+    )
+    data2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw2))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_rgb8(data2)[2] == lines
+    # totality + documented-subset gating
+    assert decode_png_rgb8(b"") is None
+    assert decode_png_rgb8(b"\x89PNG\r\n\x1a\n junk") is None
+    gray = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)  # color type 0
+    assert decode_png_rgb8(
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", gray)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    ) is None
+
+
+def test_image_pixel_ops_match_oracle(spark, duck):
+    from nreadability_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.image_pixel_stats(spark, SF_DIR),
+        multimodal.image_pixel_stats_sql(),
+        duck,
+    )
+    assert_matches_oracle(
+        multimodal.image_resize_thumb(spark, SF_DIR),
+        multimodal.image_resize_thumb_sql(),
+        duck,
+    )
+
+
 def test_lang_id_predicts_only_known_labels(spark):
     from nreadability_spark.operators import textops
 
