@@ -13,7 +13,10 @@ table under ``--out`` —
 - ``bpe_merges/``  learned BPE merge table (rank, lhs, rhs, merged,
                    pair_count);
 - ``quality_lr/``  logistic-regression quality-filter weights
-                   (feature, weight) — final GD iterate.
+                   (feature, weight) — final GD iterate;
+- ``dsir_buckets/`` DSIR hashed-n-gram importance weights
+                   (b, lw_micro) — the B-row bucket model
+                   ``dsir_select`` broadcasts.
 
 Each table is exactly what the corresponding apply path broadcasts
 (the model is DATA): ``knn_ivf_fitted``, ``knn_pq_adc``,
@@ -80,6 +83,12 @@ def main():
         list(enumerate(w)), "feature: long, weight: double"
     ).write.mode("overwrite").parquet(f"{args.out}/quality_lr")
     counts["quality_lr"] = spark.read.parquet(f"{args.out}/quality_lr").count()
+
+    from nreadability_spark.operators import textops
+
+    _, dsir = textops.dsir_bucket_model(spark, args.sf_dir)
+    dsir.write.mode("overwrite").parquet(f"{args.out}/dsir_buckets")
+    counts["dsir_buckets"] = spark.read.parquet(f"{args.out}/dsir_buckets").count()
 
     print(
         json.dumps(

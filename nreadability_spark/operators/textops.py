@@ -1715,38 +1715,17 @@ DSIR_TOP_K = 64           # deterministic selection size
 DSIR_MICRO = 1_000_000    # fixed-point grain (log10 in millionths)
 
 
-def dsir_select(
+def dsir_bucket_model(
     spark: SparkSession,
     sf_dir: str,
     target_source: str = DSIR_TARGET_SOURCE,
     buckets: int = DSIR_BUCKETS,
-    top_k: int = DSIR_TOP_K,
-) -> DataFrame:
-    """DSIR (Xie et al. 2023, arXiv:2302.03169, "Data Selection for
-    Language Models via Importance Resampling"): score every raw
-    document by how much its hashed n-gram profile looks like a TARGET
-    distribution rather than the raw corpus, then keep the top-k.
-
-    Features are per-occurrence unigram+bigram 60-bit hashes bucketed
-    mod ``buckets``. Bucket models are add-1-smoothed: the importance
-    weight of bucket b is log10((t_b+1)/(T+B)) - log10((r_b+1)/(R+B)),
-    each log rounded to MICRO fixed point (the proven unigram-LM
-    pattern, applied twice) so the per-document score is an exact
-    BIGINT sum, independent of partition/summation order. Selection is
-    deterministic top-k by (score desc, doc_id): the k-th row is found
-    with two TakeOrderedAndProject passes (never a global sort) and
-    broadcast for the flag comparison. The paper resamples with Gumbel
-    noise; the deterministic argmax-k is that procedure at temperature
-    zero, which is what an oracle-checkable engine should ship (seeded
-    Gumbel keys could be added as one extra column).
-
-    Scale shape (100 TB): the feature stage is the shared map-side
-    shingle-hash transform (zero shuffles); the raw/target bucket
-    counts are ONE hash agg over B buckets (the target flag rides a
-    co-partitioned join with the narrow (doc_id, source) projection);
-    the B-row model broadcasts; scoring is one hash agg keyed by
-    doc_id. Nothing scales with corpus size except the two keyed
-    shuffles Spark needs anyway."""
+):
+    """The fit half of DSIR: returns (feats, model) where ``feats`` is
+    the per-occurrence (doc_id, bucket) feature stream and ``model``
+    the B-row (b, lw_micro) importance-weight table —
+    ``jobs/fit_models.py`` persists the latter as a parquet model
+    table (the model is DATA; apply broadcasts it)."""
     docs = load_documents(spark, sf_dir)
     uni = tx.positional_shingle_hashes(docs, n=1)
     bi = tx.positional_shingle_hashes(docs, n=2)
@@ -1787,6 +1766,44 @@ def dsir_select(
                 * DSIR_MICRO
             ).cast("long")
         ).alias("lw_micro"),
+    )
+    return feats, model
+
+
+def dsir_select(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much its hashed n-gram profile looks like a TARGET
+    distribution rather than the raw corpus, then keep the top-k.
+
+    Features are per-occurrence unigram+bigram 60-bit hashes bucketed
+    mod ``buckets``. Bucket models are add-1-smoothed: the importance
+    weight of bucket b is log10((t_b+1)/(T+B)) - log10((r_b+1)/(R+B)),
+    each log rounded to MICRO fixed point (the proven unigram-LM
+    pattern, applied twice) so the per-document score is an exact
+    BIGINT sum, independent of partition/summation order. Selection is
+    deterministic top-k by (score desc, doc_id): the k-th row is found
+    with two TakeOrderedAndProject passes (never a global sort) and
+    broadcast for the flag comparison. The paper resamples with Gumbel
+    noise; the deterministic argmax-k is that procedure at temperature
+    zero, which is what an oracle-checkable engine should ship (seeded
+    Gumbel keys could be added as one extra column).
+
+    Scale shape (100 TB): the feature stage is the shared map-side
+    shingle-hash transform (zero shuffles); the raw/target bucket
+    counts are ONE hash agg over B buckets (the target flag rides a
+    co-partitioned join with the narrow (doc_id, source) projection);
+    the B-row model broadcasts; scoring is one hash agg keyed by
+    doc_id. Nothing scales with corpus size except the two keyed
+    shuffles Spark needs anyway."""
+    feats, model = dsir_bucket_model(
+        spark, sf_dir, target_source=target_source, buckets=buckets
     )
     scored = (
         feats.join(F.broadcast(model), "b")
