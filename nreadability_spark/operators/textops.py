@@ -1770,6 +1770,33 @@ def dsir_bucket_model(
     return feats, model
 
 
+def dsir_score_frame(
+    df: DataFrame, model: DataFrame, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Score a (doc_id, text) frame against a fitted (b, lw_micro)
+    bucket model -> (doc_id, n_ngrams, dsir_micro). The ONE scoring
+    code path: ``dsir_select`` composes it after the in-query fit, the
+    streaming scorer applies it per micro-batch against the persisted
+    model table — so the online score can never drift from the
+    offline one. Map-side features, broadcast B-row model, one hash
+    agg keyed by doc_id."""
+    uni = tx.positional_shingle_hashes(df, n=1)
+    bi = tx.positional_shingle_hashes(df, n=2)
+    feats = (
+        uni.select("doc_id", "sh60")
+        .unionByName(bi.select("doc_id", "sh60"))
+        .select("doc_id", F.pmod("sh60", F.lit(buckets)).alias("b"))
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum("lw_micro").cast("long").alias("dsir_micro"),
+        )
+    )
+
+
 def dsir_select(
     spark: SparkSession,
     sf_dir: str,
@@ -1802,17 +1829,10 @@ def dsir_select(
     the B-row model broadcasts; scoring is one hash agg keyed by
     doc_id. Nothing scales with corpus size except the two keyed
     shuffles Spark needs anyway."""
-    feats, model = dsir_bucket_model(
+    _, model = dsir_bucket_model(
         spark, sf_dir, target_source=target_source, buckets=buckets
     )
-    scored = (
-        feats.join(F.broadcast(model), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
-            F.sum("lw_micro").cast("long").alias("dsir_micro"),
-        )
-    )
+    scored = dsir_score_frame(load_documents(spark, sf_dir), model, buckets)
     kth = (
         scored.orderBy(F.col("dsir_micro").desc(), F.col("doc_id"))
         .limit(top_k)

@@ -215,3 +215,58 @@ def test_reparse_elision_matches_always_reparse(soup):
     assert fast.content_text == slow.content_text
     assert fast.html == slow.html
     assert fast.spans == slow.spans
+
+
+# --- PNG pixel decoder (round 4) ---------------------------------------
+
+_png_junk = st.one_of(
+    st.binary(max_size=200),
+    st.binary(max_size=120).map(lambda b: b"\x89PNG\r\n\x1a\n" + b),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_png_junk)
+def test_png_pixel_decode_is_total(data):
+    """decode_png_rgb8 must never raise — any malformed chunk layout,
+    truncated IDAT, or corrupt zlib stream returns None."""
+    from nreadability_spark.operators.multimodal import decode_png_rgb8
+
+    r1 = decode_png_rgb8(data)
+    r2 = decode_png_rgb8(data)
+    assert r1 == r2  # deterministic, and total by virtue of returning
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_random_bitmaps(w, h, seed):
+    """encode(random bitmap) -> decode == identity, through a REAL
+    zlib-compressed (not stored) stream and per-row random filter-0
+    data — independent of the synthesizer's row-constant layout."""
+    import struct
+    import zlib
+
+    from nreadability_spark.operators.multimodal import decode_png_rgb8
+
+    rnd = __import__("random").Random(seed)
+    lines = [bytes(rnd.randrange(256) for _ in range(3 * w)) for _ in range(h)]
+    raw = b"".join(b"\x00" + ln for ln in lines)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, rows = decode_png_rgb8(data)
+    assert (dw, dh) == (w, h) and rows == lines

@@ -540,3 +540,42 @@ def test_stream_quality_scoring_equals_batch(spark, tmp_path):
     want = {r["doc_id"]: (r["logit_micro"], r["pred"])
             for r in score_frame(docs, w).collect()}
     assert got == want and len(got) == 500
+
+
+def test_dsir_stream_scoring_equals_batch(spark, tmp_path):
+    """Train-offline/score-online for DSIR: the persisted bucket model
+    applied per micro-batch must reproduce the batch scores exactly
+    (same dsir_score_frame code path; model is a parquet table round
+    trip, like fit_models writes)."""
+    from nreadability_spark.operators.textops import (
+        dsir_bucket_model, dsir_score_frame,
+    )
+    from nreadability_spark.streaming.dsir_stream import (
+        run_dsir_stream_to_parquet,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    _, model = dsir_bucket_model(spark, sf_dir)
+    model_path = str(tmp_path / "dsir_buckets")
+    model.write.parquet(model_path)  # the fit_models artifact shape
+    persisted = spark.read.parquet(model_path)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "feed")
+    docs.repartition(3).write.parquet(src)  # several files -> triggers
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "scored"), str(tmp_path / "ckpt")
+    q = run_dsir_stream_to_parquet(stream, persisted, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"]: (r["n_ngrams"], r["dsir_micro"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: (r["n_ngrams"], r["dsir_micro"])
+            for r in dsir_score_frame(docs, persisted).collect()}
+    assert got == want and len(got) == len(want) > 0
