@@ -40,6 +40,7 @@ HEADLINE = [
     "multimodal_decode_meta",
     "multimodal_image_pixels",
     "multimodal_image_resize",
+    "multimodal_frame_pixels",
     "multimodal_audio_meta",
     "rel_event_sessions",
     "rel_asof_join",

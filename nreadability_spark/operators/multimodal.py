@@ -500,6 +500,161 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --- GIF LZW pixel decode ----------------------------------------------
+
+
+def lzw_decode(min_code_size: int, data: bytes, max_pixels: int = 1 << 22):
+    """General GIF-variant LZW decode (public spec): LSB-first bit
+    stream, clear/EOI codes, growing code width, 12-bit dictionary
+    cap. Returns the pixel index list, or None on a malformed stream.
+    ``max_pixels`` bounds output on hostile inputs (an LZW bomb is a
+    few bytes that expand without limit)."""
+    try:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        width = min_code_size + 1
+        table = [[i] for i in range(clear)] + [None, None]
+        out: list[int] = []
+        prev: list[int] | None = None
+        acc = nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [[i] for i in range(clear)] + [None, None]
+                    width = min_code_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    return out
+                if code < len(table) and table[code] is not None:
+                    entry = table[code]
+                elif code == len(table) and prev is not None:
+                    entry = prev + [prev[0]]
+                else:
+                    return None
+                out.extend(entry)
+                if len(out) > max_pixels:
+                    return None
+                if prev is not None and len(table) < 4096:
+                    table.append(prev + [entry[0]])
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+        return out  # stream ended without EOI: tolerate (common in wild)
+    except (IndexError, TypeError):
+        return None
+
+
+def gif_frame_pixels(data: bytes):
+    """REAL per-frame pixel decode: walk the container with
+    ``gif_frame_info``, then LZW-decode each frame's image data and
+    resolve indices through the active (local-else-global) color
+    table. Returns [(frame_idx, n_px, first_index, r, g, b)] — empty
+    on anything unparseable."""
+    frames = gif_frame_info(data)
+    if not frames:
+        return []
+    packed = data[10]
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = data[13 : 13 + 3 * n]
+    out = []
+    try:
+        for frame_idx, off, _delay in frames:
+            flags = data[off + 9]
+            j = off + 10
+            table = gct
+            if flags & 0x80:
+                n = 2 << (flags & 7)
+                table = data[j : j + 3 * n]
+                j += 3 * n
+            mcs = data[j]
+            j += 1
+            blocks = bytearray()
+            while j < len(data) and data[j] != 0:
+                blocks.extend(data[j + 1 : j + 1 + data[j]])
+                j += 1 + data[j]
+            px = lzw_decode(mcs, bytes(blocks))
+            if px is None or not px or table is None:
+                continue
+            first = px[0]
+            if 3 * first + 3 > len(table):
+                continue
+            r, g, b = table[3 * first : 3 * first + 3]
+            out.append((frame_idx, len(px), first, r, g, b))
+    except IndexError:
+        return []
+    return out
+
+
+FRAME_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("px_index", T.LongType()),
+        T.StructField("r", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("b", T.LongType()),
+    ]
+)
+
+
+def multimodal_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame decoded pixels over the animated-GIF corpus: the
+    container walk feeds a REAL general LZW decoder (clear/EOI,
+    growing code width, 12-bit cap — handles any compliant encoder,
+    not just our single-pixel streams), indices resolved through the
+    color table. Map-side like every decode stage; 7 integers per
+    frame leave the worker."""
+    from nreadability_spark.sources.synth import materialize_gifs
+
+    path = materialize_gifs(spark, sf_dir)
+    payloads = spark.read.parquet(path)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, n_px, idx, r, g, b in gif_frame_pixels(bytes(payload)):
+                    rows.append((int(doc_id), fi, n_px, idx, r, g, b))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_PIXEL_SCHEMA.fields]
+            )
+
+    return payloads.mapInPandas(batches, schema=FRAME_PIXEL_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def multimodal_frame_pixels_sql() -> str:
+    # closed form of synth.gif_frame_pixel_index_for over the planted
+    # 2-color table (black, white): every frame is a 1x1 bitmap whose
+    # index is (doc_id + frame_idx) % 2
+    return """
+WITH frames AS (
+  SELECT doc_id, CAST(unnest(range(1 + doc_id % 4)) AS BIGINT) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       CAST(1 AS BIGINT) AS n_px,
+       CAST((doc_id + frame_idx) % 2 AS BIGINT) AS px_index,
+       CAST(255 * ((doc_id + frame_idx) % 2) AS BIGINT) AS r,
+       CAST(255 * ((doc_id + frame_idx) % 2) AS BIGINT) AS g,
+       CAST(255 * ((doc_id + frame_idx) % 2) AS BIGINT) AS b
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
 # --- pixel-level image operators (real PNG decode) ---------------------
 
 PIXEL_SCHEMA = T.StructType(
@@ -773,6 +928,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frames,
     "multimodal_image_pixels": image_pixel_stats,
     "multimodal_image_resize": image_resize_thumb,
+    "multimodal_frame_pixels": multimodal_frame_pixels,
 }
 ORACLES = {
     "multimodal_decode_meta": multimodal_metadata_sql(),
@@ -781,4 +937,5 @@ ORACLES = {
     "multimodal_frame_sample": multimodal_frames_sql(),
     "multimodal_image_pixels": image_pixel_stats_sql(),
     "multimodal_image_resize": image_resize_thumb_sql(),
+    "multimodal_frame_pixels": multimodal_frame_pixels_sql(),
 }

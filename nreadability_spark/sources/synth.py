@@ -324,7 +324,24 @@ def rgb_image_payload_for(doc_id: int) -> bytes:
 _GIF_PIXEL_DATA = b"\x02\x02\x44\x01\x00"
 
 
-def build_gif_animated(width: int, height: int, delays_cs: list[int]) -> bytes:
+def gif_pixel_data(color_index: int) -> bytes:
+    """Single-pixel LZW stream carrying ``color_index``: 3-bit codes
+    [clear=4, index, eoi=5] packed LSB-first = the 9-bit value
+    4 + 8*index + 64*5, always two bytes — same 5-byte block layout as
+    the classic payload, so the closed-form frame offsets hold."""
+    v = 4 + 8 * color_index + 64 * 5
+    return b"\x02\x02" + struct.pack("<H", v) + b"\x00"
+
+
+def gif_frame_pixel_index_for(doc_id: int, frame_idx: int) -> int:
+    """Planted per-frame pixel color index (2-color GCT) — closed
+    form, restated by the frame-pixel oracle."""
+    return (doc_id + frame_idx) % 2
+
+
+def build_gif_animated(
+    width: int, height: int, delays_cs: list[int], pixel_indices=None
+) -> bytes:
     """Animated GIF89a: logical screen + 2-color global table, then one
     (graphic-control extension, 1x1 image descriptor, pixel data) block
     per frame. Every field is fixed-width, so frame k's image
@@ -337,10 +354,14 @@ def build_gif_animated(width: int, height: int, delays_cs: list[int]) -> bytes:
         bytes([0x80, 0, 0]),  # GCT present, 2 colors
         b"\x00\x00\x00\xff\xff\xff",  # global color table
     ]
-    for delay in delays_cs:
+    for k, delay in enumerate(delays_cs):
         parts.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00")
         parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00")
-        parts.append(_GIF_PIXEL_DATA)
+        parts.append(
+            _GIF_PIXEL_DATA
+            if pixel_indices is None
+            else gif_pixel_data(pixel_indices[k])
+        )
     parts.append(b"\x3b")
     return b"".join(parts)
 
@@ -362,10 +383,10 @@ def gif_delay_for(doc_id: int, frame_idx: int) -> int:
 
 def gif_payload_for(doc_id: int) -> bytes:
     _fmt, width, height = image_meta_for(doc_id)
-    delays = [
-        gif_delay_for(doc_id, k) for k in range(gif_frame_count_for(doc_id))
-    ]
-    return build_gif_animated(width, height, delays)
+    n_frames = gif_frame_count_for(doc_id)
+    delays = [gif_delay_for(doc_id, k) for k in range(n_frames)]
+    pixels = [gif_frame_pixel_index_for(doc_id, k) for k in range(n_frames)]
+    return build_gif_animated(width, height, delays, pixel_indices=pixels)
 
 
 WAV_SAMPLE_RATES = (8000, 16000, 22050, 44100)

@@ -317,6 +317,76 @@ def test_image_pixel_ops_match_oracle(spark, duck):
     )
 
 
+def test_gif_lzw_decode_roundtrips_independent_encoder():
+    """The LZW decoder must be GENERAL — reconstruct arbitrary pixel
+    sequences written by an independent spec-following encoder (code
+    growth mirrored), not just the single-pixel streams the
+    synthesizer emits — and be total on junk."""
+    import random
+
+    from nreadability_spark.operators.multimodal import lzw_decode
+
+    def lzw_encode(mcs, seq):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        codes = [clear]
+        w = (seq[0],)
+        for px in seq[1:]:
+            if w + (px,) in table:
+                w = w + (px,)
+            else:
+                codes.append(table[w])
+                if next_code < 4096:
+                    table[w + (px,)] = next_code
+                    next_code += 1
+                w = (px,)
+        codes.append(table[w])
+        codes.append(eoi)
+        out = bytearray()
+        acc = nbits = 0
+        width = mcs + 1
+        n_table = eoi + 1
+        prev = None
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                n_table, width, prev = eoi + 1, mcs + 1, None
+            elif c != eoi:
+                if prev is not None and n_table < 4096:
+                    n_table += 1
+                    if n_table == (1 << width) and width < 12:
+                        width += 1
+                prev = c
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rnd = random.Random(7)
+    for _ in range(40):
+        mcs = rnd.choice([2, 3, 4])
+        seq = [rnd.randrange(1 << mcs) for _ in range(rnd.randrange(1, 200))]
+        assert lzw_decode(mcs, lzw_encode(mcs, seq)) == seq
+    # totality on junk (None or a truncated-but-valid prefix, no raise)
+    for junk in (b"", b"\xff" * 8, b"\x00\x01\x02"):
+        lzw_decode(2, junk)
+
+
+def test_frame_pixels_match_oracle(spark, duck):
+    from nreadability_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.multimodal_frame_pixels(spark, SF_DIR),
+        multimodal.multimodal_frame_pixels_sql(),
+        duck,
+    )
+
+
 def test_lang_id_predicts_only_known_labels(spark):
     from nreadability_spark.operators import textops
 
