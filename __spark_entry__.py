@@ -252,7 +252,7 @@ _CHECK_FIRST = (
     "sim_pq_codes", "sim_knn_pq", "sim_knn_ivf_pq", "sim_knn_ivf_pq_residual",
     "sim_semantic_dedup", "text_dsir_select",
     "multimodal_image_pixels", "multimodal_image_resize",
-    "multimodal_frame_pixels",
+    "multimodal_frame_pixels", "pipeline_cluster_topics",
     "dedup_embedding_cosine", "multimodal_decode_meta",
     "multimodal_audio_meta", "multimodal_audio_samples",
     "multimodal_frame_sample", "extract_stitch_conversations",

@@ -64,6 +64,7 @@ HEADLINE = [
     "rel_rolling_revenue",
     "pipeline_clean_corpus",
     "pipeline_training_ready",
+    "pipeline_cluster_topics",
     "extract_doc_pages",
     "extract_warc_pages",
     "extract_mixed_media",

@@ -184,11 +184,146 @@ ORDER BY doc_id
 """
 
 
+CLUSTER_TOPIC_K = 5
+CLUSTER_TOPIC_MICRO = 1_000_000
+
+
+def cluster_topics(
+    spark: SparkSession, sf_dir: str, k: int = CLUSTER_TOPIC_K
+) -> DataFrame:
+    """Corpus exploration composition ("topic modeling lite"): k-means
+    cells over the embedding column x TF-IDF over the text column —
+    per cluster, its document count and its top-k characteristic terms
+    where the cluster (not the document) is the TF-IDF document unit.
+    The standard first look at an unlabeled web corpus: what is each
+    semantic cluster ABOUT.
+
+    Composition: the distributed Lloyd fit + cosine assignment
+    (operators.similarity) keyed back to doc_id (vec_id == doc_id in
+    the corpus contract), token frequencies re-aggregated per (cell,
+    term), smoothed idf over CLUSTERS in MICRO fixed point (the
+    established transcendental-rounding pattern), bounded per-cell
+    top-k window. Scale shape: the only corpus-sized shuffles are the
+    (doc_id) assignment join and the (cell, term) hash agg; the cell
+    count C bounds the idf table, the window partitions and the
+    output."""
+    from nreadability_spark.operators.similarity import (
+        _assign_to_centroids, _dvec, fit_centroids, load_embeddings,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("e")
+    )
+    assigned = _assign_to_centroids(emb, fit_centroids(spark, sf_dir)).select(
+        F.col("vec_id").alias("doc_id"), F.col("cell").cast("long").alias("cell")
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tf = (
+        tx.exploded_tokens(docs)
+        .join(assigned, "doc_id")
+        .groupBy("cell", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_cells = sizes.agg(F.count(F.lit(1)).cast("double").alias("n_cells"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_cells"))
+        .crossJoin(F.broadcast(n_cells))
+        .select(
+            "term",
+            "df_cells",
+            F.round(
+                (F.log((F.col("n_cells") + 1) / (F.col("df_cells") + 1)) + 1)
+                * CLUSTER_TOPIC_MICRO
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .select(
+            "cell", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_cells").cast("long").alias("df_cells"),
+            (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(sizes, "cell")
+        .select(
+            "cell", "n_docs", F.col("rank").cast("long").alias("rank"),
+            "term", "tf", "df_cells", "score_micro",
+        )
+        .orderBy("cell", "rank")
+    )
+
+
+def cluster_topics_sql(k: int = CLUSTER_TOPIC_K) -> str:
+    from nreadability_spark.operators.similarity import (
+        KMEANS_ITERS, _cosine_sql, _kmeans_cte_chain,
+    )
+
+    ccos = _cosine_sql("e.emb", "c.c")
+    m = CLUSTER_TOPIC_MICRO
+    return f"""
+WITH {_kmeans_cte_chain()},
+ct_scored AS (
+  SELECT e.vec_id, c.cent_id, {ccos} AS ccos FROM base e, c{KMEANS_ITERS} c
+),
+ct_assigned AS MATERIALIZED (
+  SELECT vec_id AS doc_id, CAST(cent_id AS BIGINT) AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM ct_scored
+  ) t WHERE r = 1
+),
+ct_sizes AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM ct_assigned GROUP BY cell
+),
+ct_tf AS MATERIALIZED (
+  SELECT a.cell, tok AS term, count(*) AS tf
+  FROM ({tx.exploded_tokens_sql('documents')}) toks
+  JOIN ct_assigned a USING (doc_id)
+  GROUP BY a.cell, tok
+),
+ct_idf AS (
+  SELECT term, count(*) AS df_cells,
+         CAST(round((ln((n_cells + 1) / (count(*) + 1)) + 1) * {m}) AS BIGINT)
+           AS idf_micro
+  FROM ct_tf, (SELECT CAST(count(*) AS DOUBLE) AS n_cells FROM ct_sizes) nc
+  GROUP BY term, n_cells
+),
+ct_ranked AS (
+  SELECT cell, term, tf, df_cells, tf * idf_micro AS score_micro,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY tf * idf_micro DESC, term) AS rank
+  FROM ct_tf JOIN ct_idf USING (term)
+)
+SELECT r.cell, s.n_docs, CAST(r.rank AS BIGINT) AS rank, r.term,
+       CAST(r.tf AS BIGINT) AS tf, CAST(r.df_cells AS BIGINT) AS df_cells,
+       CAST(r.score_micro AS BIGINT) AS score_micro
+FROM ct_ranked r JOIN ct_sizes s USING (cell)
+WHERE r.rank <= {k}
+ORDER BY r.cell, r.rank
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": clean_corpus,
     "pipeline_training_ready": training_ready,
+    "pipeline_cluster_topics": cluster_topics,
 }
 ORACLES = {
     "pipeline_clean_corpus": clean_corpus_sql(),
     "pipeline_training_ready": training_ready_sql(),
+    "pipeline_cluster_topics": cluster_topics_sql(),
 }

@@ -1452,6 +1452,37 @@ def test_source_mixture_weights_invert_share(spark, tmp_path):
     assert abs(out["big"]["sample_weight"] - 0.5 / out["big"]["token_share"]) < 1e-5
 
 
+def test_cluster_topics_matches_oracle(spark, duck):
+    from nreadability_spark.plans import pipeline
+
+    assert_matches_oracle(
+        pipeline.cluster_topics(spark, SF_DIR),
+        pipeline.cluster_topics_sql(),
+        duck,
+    )
+
+
+def test_cluster_topics_shape(spark):
+    """Per cell: ranks are 1..k dense, terms distinct; the cluster
+    sizes sum to the corpus size (every vector assigned exactly one
+    cell)."""
+    from nreadability_spark.plans import pipeline
+    from nreadability_spark.operators.textops import load_documents
+
+    rows = pipeline.cluster_topics(spark, SF_DIR).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert by_cell
+    for cell, rs in by_cell.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len({r["term"] for r in rs}) == len(rs)
+        assert len({r["n_docs"] for r in rs}) == 1
+    n_docs = load_documents(spark, SF_DIR).count()
+    assert sum(rs[0]["n_docs"] for rs in by_cell.values()) == n_docs
+
+
 def test_dsir_select_matches_oracle(spark, duck):
     from nreadability_spark.operators import textops
 
