@@ -253,6 +253,7 @@ _CHECK_FIRST = (
     "sim_semantic_dedup", "text_dsir_select",
     "multimodal_image_pixels", "multimodal_image_resize",
     "multimodal_frame_pixels", "pipeline_cluster_topics",
+    "text_bigram_logprob",
     "dedup_embedding_cosine", "multimodal_decode_meta",
     "multimodal_audio_meta", "multimodal_audio_samples",
     "multimodal_frame_sample", "extract_stitch_conversations",

@@ -49,6 +49,7 @@ HEADLINE = [
     "text_bottomk_containment",
     "text_sequence_packing",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_line_dedup",
     "text_source_mixture",
     "rel_price_quantiles_approx",

@@ -1208,6 +1208,212 @@ ORDER BY d.doc_id
 """
 
 
+# --- bigram LM scoring with stupid backoff -----------------------------
+
+import math as _math
+
+BLM_BACKOFF = 0.4  # Brants et al. 2007 "Large Language Models in MT"
+BLM_BACKOFF_MICRO = int(round(_math.log10(BLM_BACKOFF) * LM_MICRO))
+
+
+def bigram_logprob(
+    spark: SparkSession, sf_dir: str, vocab_size: int = LM_VOCAB_SIZE
+) -> DataFrame:
+    """Bigram language-model scoring with STUPID BACKOFF (Brants et
+    al. 2007, the web-scale choice: no discounting mass to normalize,
+    so the model distributes as plain count tables): position 0 scores
+    unigram; position i>=1 scores log10(cnt(prev,cur)/ctx(prev)) when
+    the in-vocab bigram was seen, else the fixed backoff penalty
+    log10(0.4) plus the unigram score of ``cur`` (OOV floor as in the
+    unigram LM). All log factors in MICRO fixed point (the established
+    pattern), so per-document sums are exact BIGINTs on any
+    partitioning.
+
+    Scale shape (100 TB): pairs are built MAP-SIDE from the
+    materialized token array (no self-join on position); the model
+    tables are bounded by construction — vocab = V rows, bigrams <= V^2
+    (only in-vocab pairs are kept), so every scoring join broadcasts a
+    constant-size table no matter the corpus; one hash agg keyed by
+    doc_id ends the plan."""
+    docs = load_documents(spark, sf_dir)
+    toks = tx.exploded_tokens(docs).select("doc_id", "pos", "tok")
+
+    totals = toks.agg(F.count(F.lit(1)).cast("double").alias("total_toks"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(F.log10(F.col("cnt") / F.col("total_toks")) * LM_MICRO)
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    oov = totals.select(
+        F.round(F.log10(F.lit(0.5) / F.col("total_toks")) * LM_MICRO)
+        .cast("long")
+        .alias("oov_micro")
+    )
+
+    # map-side adjacent pairs from the materialized token array
+    # (lambda-CSE-safe: toks column first, element_at in the transform)
+    arr = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i + 1).alias("prev"),
+            F.element_at(F.col("toks"), i + 2).alias("cur"),
+        ),
+    )
+    pairs = arr.select(
+        "doc_id", F.explode(pair_structs).alias("p")
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    v_prev = vocab.select(F.col("tok").alias("prev"))
+    v_cur = vocab.select(F.col("tok").alias("cur"))
+    kept = pairs.join(F.broadcast(v_prev), "prev").join(F.broadcast(v_cur), "cur")
+    big = kept.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt2"))
+    ctx = big.groupBy("prev").agg(F.sum("cnt2").cast("double").alias("n_ctx"))
+    bigram = big.join(F.broadcast(ctx), "prev").select(
+        "prev",
+        "cur",
+        F.round(F.log10(F.col("cnt2") / F.col("n_ctx")) * LM_MICRO)
+        .cast("long")
+        .alias("bi_micro"),
+    )
+
+    first = (
+        toks.where(F.col("pos") == 0)
+        .join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            F.coalesce("logp_micro", "oov_micro").alias("micro"),
+            F.lit(0).cast("long").alias("hit"),
+        )
+    )
+    rest = (
+        pairs.join(F.broadcast(bigram), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("cur"), "logp_micro")),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("bi_micro"),
+                F.lit(BLM_BACKOFF_MICRO)
+                + F.coalesce("logp_micro", "oov_micro"),
+            ).alias("micro"),
+            F.col("bi_micro").isNotNull().cast("long").alias("hit"),
+        )
+    )
+    scored = (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("hit").cast("long").alias("n_bigram_hits"),
+            F.sum("micro").cast("long").alias("sum_logp_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_bigram_hits", F.lit(0)).cast("long").alias("n_bigram_hits"),
+            F.coalesce("sum_logp_micro", F.lit(0)).cast("long").alias("sum_logp_micro"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.col("sum_logp_micro") / F.col("n_tokens") / F.lit(float(LM_MICRO)), 6
+                ),
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_logprob_sql(vocab_size: int = LM_VOCAB_SIZE) -> str:
+    toks = tx.exploded_tokens_sql("documents")
+    return f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, pos, tok FROM ({toks}) t),
+totals AS (SELECT CAST(count(*) AS DOUBLE) AS total_toks FROM toks),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(round(log10(cnt / total_toks) * {LM_MICRO}) AS BIGINT) AS logp_micro
+  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT {vocab_size}) v
+  CROSS JOIN totals
+),
+oov AS (
+  SELECT CAST(round(log10(0.5 / total_toks) * {LM_MICRO}) AS BIGINT) AS oov_micro
+  FROM totals
+),
+pairs AS MATERIALIZED (
+  SELECT doc_id, prev, tok AS cur FROM (
+    SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+    FROM toks
+  ) w WHERE prev IS NOT NULL
+),
+big AS MATERIALIZED (
+  SELECT p.prev, p.cur, count(*) AS cnt2
+  FROM pairs p
+  JOIN vocab vp ON vp.tok = p.prev
+  JOIN vocab vc ON vc.tok = p.cur
+  GROUP BY p.prev, p.cur
+),
+ctx AS (SELECT prev, CAST(sum(cnt2) AS DOUBLE) AS n_ctx FROM big GROUP BY prev),
+bigram AS (
+  SELECT b.prev, b.cur,
+         CAST(round(log10(b.cnt2 / c.n_ctx) * {LM_MICRO}) AS BIGINT) AS bi_micro
+  FROM big b JOIN ctx c USING (prev)
+),
+first_tok AS (
+  SELECT t.doc_id, coalesce(v.logp_micro, o.oov_micro) AS micro,
+         CAST(0 AS BIGINT) AS hit
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok CROSS JOIN oov o
+  WHERE t.pos = 0
+),
+rest AS (
+  SELECT p.doc_id,
+         coalesce(bg.bi_micro,
+                  {BLM_BACKOFF_MICRO} + coalesce(v.logp_micro, o.oov_micro)) AS micro,
+         CAST(CASE WHEN bg.bi_micro IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+  FROM pairs p
+  LEFT JOIN bigram bg ON bg.prev = p.prev AND bg.cur = p.cur
+  LEFT JOIN vocab v ON v.tok = p.cur
+  CROSS JOIN oov o
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+         CAST(sum(micro) AS BIGINT) AS sum_logp_micro
+  FROM (SELECT * FROM first_tok UNION ALL SELECT * FROM rest) u
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.n_bigram_hits, 0) AS BIGINT) AS n_bigram_hits,
+       CAST(coalesce(s.sum_logp_micro, 0) AS BIGINT) AS sum_logp_micro,
+       CASE WHEN coalesce(s.n_tokens, 0) > 0
+            THEN round(coalesce(s.sum_logp_micro, 0) / s.n_tokens / {LM_MICRO}.0, 6)
+            END AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- source mixture weights (data-mixture balancing) -------------------
 
 def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1927,6 +2133,7 @@ QUERIES = {
     "text_pii_scan_planted": pii_scan_planted,
     "text_sequence_packing": sequence_packing,
     "text_unigram_logprob": unigram_logprob,
+    "text_bigram_logprob": bigram_logprob,
     "text_source_mixture": source_mixture,
     "text_line_dedup": line_dedup,
     "text_span_dedup": span_dedup,
@@ -1951,6 +2158,7 @@ ORACLES = {
     "text_pii_scan_planted": pii_scan_planted_sql(),
     "text_sequence_packing": sequence_packing_sql(),
     "text_unigram_logprob": unigram_logprob_sql(),
+    "text_bigram_logprob": bigram_logprob_sql(),
     "text_source_mixture": SOURCE_MIXTURE_SQL,
     "text_line_dedup": line_dedup_sql(),
     "text_span_dedup": span_dedup_sql(),

@@ -1452,6 +1452,31 @@ def test_source_mixture_weights_invert_share(spark, tmp_path):
     assert abs(out["big"]["sample_weight"] - 0.5 / out["big"]["token_share"]) < 1e-5
 
 
+def test_bigram_logprob_matches_oracle(spark, duck):
+    from nreadability_spark.operators import textops
+
+    assert_matches_oracle(
+        textops.bigram_logprob(spark, SF_DIR), textops.bigram_logprob_sql(), duck
+    )
+
+
+def test_bigram_logprob_planted_exact(spark, tmp_path):
+    """Closed-form check of the stupid-backoff arithmetic: one doc
+    'x y x y x y' — every bigram is deterministic within its context
+    (p=1, micro 0), the first token scores unigram log10(3/6), and
+    all five pair positions are bigram hits."""
+    from nreadability_spark.operators import textops
+
+    _write_src_docs(spark, str(tmp_path), [(0, "x y x y x y", "s")])
+    r = textops.bigram_logprob(spark, str(tmp_path)).collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["n_bigram_hits"] == 5
+    import math
+
+    want_first = round(math.log10(3 / 6) * textops.LM_MICRO)
+    assert r["sum_logp_micro"] == want_first  # pairs contribute 0 each
+
+
 def test_cluster_topics_matches_oracle(spark, duck):
     from nreadability_spark.plans import pipeline
 
