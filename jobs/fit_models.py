@@ -86,7 +86,7 @@ def main():
 
     from nreadability_spark.operators import textops
 
-    _, dsir = textops.dsir_bucket_model(spark, args.sf_dir)
+    dsir = textops.dsir_bucket_model(spark, args.sf_dir)
     dsir.write.mode("overwrite").parquet(f"{args.out}/dsir_buckets")
     counts["dsir_buckets"] = spark.read.parquet(f"{args.out}/dsir_buckets").count()
 

@@ -297,7 +297,10 @@ def fit_centroids(
     # unpinned plan re-runs the whole Lloyd chain once per exchange. In
     # production this is the parquet model table jobs/fit_models.py
     # writes; locally, localCheckpoint is the same materialize-once.
-    return cents.localCheckpoint()
+    # eager=False: merely CONSTRUCTING a composed plan (explain, schema,
+    # plan-shape tests) must not run the Lloyd jobs — the checkpoint
+    # materializes at the query's first action instead.
+    return cents.localCheckpoint(eager=False)
 
 
 def centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,6 +457,40 @@ def _pandas_dot():
     return pdot
 
 
+def _block_pair_join(df: DataFrame, n_salts: int, order_col: str):
+    """Salted sub-block pair join — the 100 TB pair-enumeration path
+    shared by the near-dup and SemDeDup operators. Each cell's rows
+    split into S salt sub-blocks (salt = xxhash64(vec_id) mod S); side
+    A explodes to block-pairs (i=salt, j=salt..S-1), side B to
+    (i=0..salt, j=salt), and the join key (cell, i, j) meets every
+    unordered pair of sub-blocks exactly once via a SHUFFLE join with
+    C*S(S+1)/2 distinct keys. Same-block pairs (i==j) keep only
+    ``a.order_col < b.order_col`` to avoid the double match. Per-task
+    memory is one sub-block pair; each row ships S+1 times — bounded
+    fan-out instead of an unbounded broadcast."""
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+    )
+    side_a = salted.select(
+        "*", F.col("salt").alias("bi"),
+        F.explode(F.sequence(F.col("salt"), F.lit(n_salts - 1))).alias("bj"),
+    ).alias("a")
+    side_b = salted.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("bi"),
+        F.col("salt").alias("bj"),
+    ).alias("b")
+    return side_a.join(
+        side_b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bj") == F.col("b.bj"))
+        & (
+            (F.col("a.bi") != F.col("a.bj"))
+            | (F.col(f"a.{order_col}") < F.col(f"b.{order_col}"))
+        ),
+    )
+
+
 def _pair_cols(threshold, kernel: str = "jvm"):
     def project(joined):
         if kernel == "pandas":
@@ -530,25 +567,7 @@ def embedding_near_dups(
         return _pair_cols(threshold, kernel)(joined).orderBy("vec_a", "vec_b")
 
     # block_pairs: salted sub-block pair join (no broadcast of the table)
-    salted = assigned.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
-    )
-    side_a = salted.select(
-        "*", F.col("salt").alias("bi"),
-        F.explode(F.sequence(F.col("salt"), F.lit(n_salts - 1))).alias("bj"),
-    ).alias("a")
-    side_b = salted.select(
-        "*", F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("bi"),
-        F.col("salt").alias("bj"),
-    ).alias("b")
-    joined = side_a.join(
-        side_b,
-        (F.col("a.cell") == F.col("b.cell"))
-        & (F.col("a.bi") == F.col("b.bi"))
-        & (F.col("a.bj") == F.col("b.bj"))
-        # distinct sub-blocks meet once; same sub-block needs the id order
-        & ((F.col("a.bi") != F.col("a.bj")) | (F.col("a.vec_id") < F.col("b.vec_id"))),
-    )
+    joined = _block_pair_join(assigned, n_salts, "vec_id")
     pairs = _pair_cols(threshold, kernel)(joined).select(
         F.least("vec_a", "vec_b").alias("vec_a"),
         F.greatest("vec_a", "vec_b").alias("vec_b"),
@@ -730,8 +749,9 @@ def fit_pq_codebook(emb: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
         )
     # pin the M x K codebook (same rationale as fit_centroids): the PQ
     # searches reference it from both the codes join and the ADC
-    # distance-table join — materialize the fit once.
-    return cents.localCheckpoint()
+    # distance-table join — materialize the fit once, lazily
+    # (eager=False, see fit_centroids).
+    return cents.localCheckpoint(eager=False)
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,27 +1315,10 @@ def semantic_dedup(
             .distinct()
         )
     else:
-        # salted block-pair shuffle join (same key construction as
-        # embedding_near_dups); every unordered same-cell pair meets
-        # exactly once, then the LATER-ranked member is the dominated one
-        salted = ranked.withColumn(
-            "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
-        )
-        side_a = salted.select(
-            "*", F.col("salt").alias("bi"),
-            F.explode(F.sequence(F.col("salt"), F.lit(n_salts - 1))).alias("bj"),
-        ).alias("a")
-        side_b = salted.select(
-            "*", F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("bi"),
-            F.col("salt").alias("bj"),
-        ).alias("b")
-        joined = side_a.join(
-            side_b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bj") == F.col("b.bj"))
-            & ((F.col("a.bi") != F.col("a.bj")) | (F.col("a.rnk") < F.col("b.rnk"))),
-        )
+        # shared salted block-pair shuffle join (``_block_pair_join``);
+        # every unordered same-cell pair meets exactly once, then the
+        # LATER-ranked member is the dominated one
+        joined = _block_pair_join(ranked, n_salts, "rnk")
         dominated = (
             joined.where(_pair_cos("a", "b") >= F.lit(eps))
             .select(

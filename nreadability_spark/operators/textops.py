@@ -1926,12 +1926,18 @@ def dsir_bucket_model(
     sf_dir: str,
     target_source: str = DSIR_TARGET_SOURCE,
     buckets: int = DSIR_BUCKETS,
-):
-    """The fit half of DSIR: returns (feats, model) where ``feats`` is
-    the per-occurrence (doc_id, bucket) feature stream and ``model``
-    the B-row (b, lw_micro) importance-weight table —
-    ``jobs/fit_models.py`` persists the latter as a parquet model
-    table (the model is DATA; apply broadcasts it)."""
+) -> DataFrame:
+    """The fit half of DSIR: the COMPLETE B-row (b, lw_micro)
+    importance-weight table — ``jobs/fit_models.py`` persists it as a
+    parquet model table (the model is DATA; apply broadcasts it).
+
+    Complete means every bucket 0..B-1 has a row, including buckets no
+    fit-corpus n-gram hashed to: add-1 smoothing exists precisely to
+    define those weights (count 0 -> log10(1/(tot+B))), and the online
+    scorer (``streaming/dsir_stream.py``) sees NOVEL documents whose
+    features may hash to fit-unseen buckets — with a count-only table
+    the scoring inner join would silently drop those occurrences and
+    the online score would diverge from the model."""
     docs = load_documents(spark, sf_dir)
     uni = tx.positional_shingle_hashes(docs, n=1)
     bi = tx.positional_shingle_hashes(docs, n=2)
@@ -1946,9 +1952,20 @@ def dsir_bucket_model(
         ),
         "doc_id",
     )
-    counts = flagged.groupBy("b").agg(
+    seen = flagged.groupBy("b").agg(
         F.count(F.lit(1)).alias("r_cnt"),
         F.sum(F.col("is_t").cast("long")).alias("t_cnt"),
+    )
+    # complete the bucket space: unseen buckets carry zero counts and
+    # receive the pure smoothing weight
+    counts = (
+        spark.range(buckets).select(F.col("id").cast("long").alias("b"))
+        .join(seen, "b", "left")
+        .select(
+            "b",
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        )
     )
     totals = counts.agg(
         F.sum("r_cnt").cast("double").alias("r_tot"),
@@ -1973,7 +1990,7 @@ def dsir_bucket_model(
             ).cast("long")
         ).alias("lw_micro"),
     )
-    return feats, model
+    return model
 
 
 def dsir_score_frame(
@@ -2035,7 +2052,7 @@ def dsir_select(
     the B-row model broadcasts; scoring is one hash agg keyed by
     doc_id. Nothing scales with corpus size except the two keyed
     shuffles Spark needs anyway."""
-    _, model = dsir_bucket_model(
+    model = dsir_bucket_model(
         spark, sf_dir, target_source=target_source, buckets=buckets
     )
     scored = dsir_score_frame(load_documents(spark, sf_dir), model, buckets)
@@ -2081,11 +2098,18 @@ WITH feats AS MATERIALIZED (
   UNION ALL
   SELECT doc_id, sh60 % {buckets} AS b FROM ({u2}) f2
 ),
-counts AS (
+seen AS (
   SELECT b, count(*) AS r_cnt,
          sum(CASE WHEN d.source = '{target_source}' THEN 1 ELSE 0 END) AS t_cnt
   FROM feats JOIN documents d USING (doc_id)
   GROUP BY b
+),
+counts AS (
+  -- complete bucket space: unseen buckets carry the pure smoothing
+  -- weight (mirrors the Spark fit's range(B) left join)
+  SELECT CAST(r.range AS BIGINT) AS b,
+         coalesce(s.r_cnt, 0) AS r_cnt, coalesce(s.t_cnt, 0) AS t_cnt
+  FROM range({buckets}) r LEFT JOIN seen s ON s.b = r.range
 ),
 totals AS (
   SELECT CAST(sum(r_cnt) AS DOUBLE) AS r_tot, CAST(sum(t_cnt) AS DOUBLE) AS t_tot

@@ -526,7 +526,7 @@ def materialize_rgb_images(spark, sf_dir, cache_root=None) -> str:
 
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
-    return _materialize(spark, sf_dir, "rgb_images", build)
+    return _materialize(spark, sf_dir, "rgb_images", build, cache_root=cache_root)
 
 
 def materialize_gifs(spark, sf_dir, cache_root=None) -> str:

@@ -1508,6 +1508,24 @@ def test_cluster_topics_shape(spark):
     assert sum(rs[0]["n_docs"] for rs in by_cell.values()) == n_docs
 
 
+def test_dsir_model_is_complete_and_scores_novel_docs(spark):
+    """The bucket model must cover ALL B buckets (add-1 smoothing
+    exists precisely to weight fit-unseen buckets), so scoring a NOVEL
+    document counts every one of its n-grams — with a count-only model
+    the inner join silently dropped occurrences hashing to unseen
+    buckets and the online score diverged from the model."""
+    from nreadability_spark.operators import textops
+
+    model = textops.dsir_bucket_model(spark, SF_DIR)
+    assert model.count() == textops.DSIR_BUCKETS
+    novel = spark.createDataFrame(
+        [(999_999, "zzqx glorp wibble frotz")], "doc_id long, text string"
+    )
+    r = textops.dsir_score_frame(novel, model).collect()[0]
+    # 4 unigrams + 3 bigrams, ALL scored regardless of fit coverage
+    assert r["n_ngrams"] == 7
+
+
 def test_dsir_select_matches_oracle(spark, duck):
     from nreadability_spark.operators import textops
 

@@ -555,7 +555,7 @@ def test_dsir_stream_scoring_equals_batch(spark, tmp_path):
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    _, model = dsir_bucket_model(spark, sf_dir)
+    model = dsir_bucket_model(spark, sf_dir)
     model_path = str(tmp_path / "dsir_buckets")
     model.write.parquet(model_path)  # the fit_models artifact shape
     persisted = spark.read.parquet(model_path)
