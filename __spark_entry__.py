@@ -261,6 +261,9 @@ _CHECK_FIRST = (
     "text_quality_classifier_fit", "text_quality_classifier_apply",
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash",
+    # round-5 additions — never driver-checked, so they follow the
+    # stale-32 inside the 50-row cap
+    "multimodal_frame_sample_mp4",
 )
 
 

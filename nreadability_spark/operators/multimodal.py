@@ -431,18 +431,174 @@ def gif_frame_info(data: bytes) -> list[tuple[int, int, int]]:
         return []
 
 
+# ISO-BMFF container boxes the walk recurses into (moov -> trak ->
+# mdia -> minf -> stbl); everything else is a leaf
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+_MP4_MAX_SAMPLES = 1 << 20  # bomb bound, same idea as lzw max_pixels
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in
+    data[start:end) — handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0) per the spec; stops at the first
+    malformed header."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        typ = data[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def _mp4_read_u32s(data: bytes, pos: int, count: int) -> list[int]:
+    return [
+        int.from_bytes(data[pos + 4 * k : pos + 4 * k + 4], "big")
+        for k in range(count)
+    ]
+
+
+def _mp4_trak_tables(data: bytes, start: int, end: int) -> dict:
+    """Collect one trak's handler, mdhd timescale, and raw sample
+    tables (stts runs, stsc map, stsz sizes, stco/co64 chunk offsets)."""
+    info: dict = {}
+
+    def rec(s: int, e: int) -> None:
+        for typ, bs, be in _mp4_boxes(data, s, e):
+            if typ in _MP4_CONTAINERS:
+                rec(bs, be)
+            elif typ == b"mdhd" and be - bs >= 4:
+                ver = data[bs]
+                off = bs + 4 + (16 if ver == 1 else 8)
+                if off + 4 <= be:
+                    info["timescale"] = int.from_bytes(data[off : off + 4], "big")
+            elif typ == b"hdlr" and be - bs >= 12:
+                info["handler"] = data[bs + 8 : bs + 12]
+            elif typ == b"stts" and be - bs >= 8:
+                n = min(
+                    int.from_bytes(data[bs + 4 : bs + 8], "big"),
+                    (be - bs - 8) // 8,
+                    _MP4_MAX_SAMPLES,
+                )
+                vals = _mp4_read_u32s(data, bs + 8, 2 * n)
+                info["stts"] = list(zip(vals[0::2], vals[1::2]))
+            elif typ == b"stsc" and be - bs >= 8:
+                n = min(
+                    int.from_bytes(data[bs + 4 : bs + 8], "big"),
+                    (be - bs - 8) // 12,
+                )
+                vals = _mp4_read_u32s(data, bs + 8, 3 * n)
+                info["stsc"] = list(zip(vals[0::3], vals[1::3]))
+            elif typ == b"stsz" and be - bs >= 12:
+                fixed = int.from_bytes(data[bs + 4 : bs + 8], "big")
+                n = min(
+                    int.from_bytes(data[bs + 8 : bs + 12], "big"), _MP4_MAX_SAMPLES
+                )
+                if fixed:
+                    info["stsz"] = [fixed] * n
+                else:
+                    n = min(n, (be - bs - 12) // 4)
+                    info["stsz"] = _mp4_read_u32s(data, bs + 12, n)
+            elif typ == b"stco" and be - bs >= 8:
+                n = min(
+                    int.from_bytes(data[bs + 4 : bs + 8], "big"),
+                    (be - bs - 8) // 4,
+                )
+                info["stco"] = _mp4_read_u32s(data, bs + 8, n)
+            elif typ == b"co64" and be - bs >= 8:
+                n = min(
+                    int.from_bytes(data[bs + 4 : bs + 8], "big"),
+                    (be - bs - 8) // 8,
+                )
+                info["stco"] = [
+                    int.from_bytes(data[bs + 8 + 8 * k : bs + 16 + 8 * k], "big")
+                    for k in range(n)
+                ]
+
+    rec(start, end)
+    return info
+
+
+def mp4_frame_info(data: bytes) -> list[tuple[int, int, int]]:
+    """Real mp4 frame sampling: walk the ISO-BMFF box tree (public
+    spec, stdlib ints only), find the 'vide'-handler trak, and resolve
+    per-sample absolute byte offsets + durations from its sample
+    tables — stts (run-length durations, expanded), stsc (the
+    sample-to-chunk map, last-entry-wins per chunk run), stsz (sizes;
+    samples within a chunk are contiguous), stco or co64 (chunk
+    offsets). Durations convert to centiseconds through the mdhd
+    timescale. Codec entropy decode is out of scope here — this is the
+    seek table a frame-extraction stage consumes, exactly like
+    ``gif_frame_info``. Returns [] for anything unparseable (total,
+    never a crash on a hostile row)."""
+    try:
+        for typ, bs, be in _mp4_boxes(data, 0, len(data)):
+            if typ != b"moov":
+                continue
+            for t2, ts2, te2 in _mp4_boxes(data, bs, be):
+                if t2 != b"trak":
+                    continue
+                t = _mp4_trak_tables(data, ts2, te2)
+                if t.get("handler") != b"vide":
+                    continue
+                timescale = t.get("timescale", 0)
+                sizes = t.get("stsz", [])
+                stco = t.get("stco", [])
+                stsc = t.get("stsc", [])
+                if not (timescale and sizes and stco and stsc):
+                    return []
+                durs: list[int] = []
+                for cnt, delta in t.get("stts", []):
+                    if len(durs) + cnt > _MP4_MAX_SAMPLES:
+                        return []
+                    durs.extend([delta] * cnt)
+                frames: list[tuple[int, int, int]] = []
+                s = 0
+                for ci in range(len(stco)):
+                    spc = 0  # samples in chunk ci+1: last stsc entry at/before it
+                    for fc, n_spc in stsc:
+                        if fc <= ci + 1:
+                            spc = n_spc
+                    off = stco[ci]
+                    for _ in range(spc):
+                        if s >= len(sizes):
+                            break
+                        dur = durs[s] if s < len(durs) else 0
+                        frames.append((s, off, dur * 100 // timescale))
+                        off += sizes[s]
+                        s += 1
+                return frames
+        return []
+    except (IndexError, ValueError):
+        return []
+
+
+_FRAME_PARSERS = {"gif": gif_frame_info, "mp4": mp4_frame_info}
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", container: str = "gif"
 ) -> DataFrame:
-    """binary payload -> one row per frame (offset + delay). GIF parses
-    for REAL (block-structure walk, stdlib only); other containers
-    (mp4/mkv/audio) raise at the exact call site where av/ffmpeg would
-    run on a real cluster."""
-    if container != "gif":
+    """binary payload -> one row per frame (offset + delay). GIF and
+    mp4 (ISO BMFF) parse for REAL (container/box walks, stdlib only);
+    remaining containers (mkv) and codec entropy decode raise at the
+    exact call site where av/ffmpeg would run on a real cluster."""
+    parser = _FRAME_PARSERS.get(container)
+    if parser is None:
         def gated(it):
             raise NotImplementedError(
                 f"{container} frame sampling requires a media container "
-                "parser not present in this sandbox; GIF parses for real"
+                "parser not present in this sandbox; GIF and mp4 parse "
+                "for real (codec entropy decode stays out of scope)"
             )
             yield  # pragma: no cover
 
@@ -454,7 +610,7 @@ def sample_frames(
         for pdf in it:
             ids, idxs, offs, dels = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                for k, off, delay in gif_frame_info(bytes(payload)):
+                for k, off, delay in parser(bytes(payload)):
                     ids.append(int(doc_id))
                     idxs.append(k)
                     offs.append(off)
@@ -475,6 +631,45 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = spark.read.parquet(materialize_gifs(spark, sf_dir))
     return sample_frames(payloads, container="gif").orderBy("doc_id", "frame_idx")
+
+
+def multimodal_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mp4 frame sampling over the materialized fragmentless-mp4
+    corpus (1-4 video frames per doc, decoy audio trak, per-doc mdhd
+    timescale, stco/co64 mixed). The oracle restates the builder's
+    closed-form layout (frame sizes -> prefix-sum offsets, paired
+    durations), so a walk that misreads any sample table — or fails to
+    skip the audio trak — hash-mismatches."""
+    from nreadability_spark.sources.synth import materialize_mp4s
+
+    payloads = spark.read.parquet(materialize_mp4s(spark, sf_dir))
+    return sample_frames(payloads, container="mp4").orderBy("doc_id", "frame_idx")
+
+
+def multimodal_frames_mp4_sql() -> str:
+    from nreadability_spark.sources.synth import MP4_MDAT_DATA_START
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n_frames FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx FROM base
+),
+sized AS (
+  SELECT doc_id, frame_idx,
+         20 + (doc_id * 7 + frame_idx * 13) % 64 AS sz
+  FROM frames
+)
+SELECT doc_id, frame_idx,
+       CAST({MP4_MDAT_DATA_START} + COALESCE(SUM(sz) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS byte_offset,
+       CAST(2 + (doc_id + frame_idx // 2) % 5 AS BIGINT) AS delay_cs
+FROM sized
+ORDER BY doc_id, frame_idx
+"""
 
 
 def multimodal_frames_sql() -> str:
@@ -926,6 +1121,7 @@ QUERIES = {
     "multimodal_audio_meta": multimodal_audio,
     "multimodal_audio_samples": multimodal_audio_samples,
     "multimodal_frame_sample": multimodal_frames,
+    "multimodal_frame_sample_mp4": multimodal_frames_mp4,
     "multimodal_image_pixels": image_pixel_stats,
     "multimodal_image_resize": image_resize_thumb,
     "multimodal_frame_pixels": multimodal_frame_pixels,
@@ -935,6 +1131,7 @@ ORACLES = {
     "multimodal_audio_meta": multimodal_audio_sql(),
     "multimodal_audio_samples": multimodal_audio_samples_sql(),
     "multimodal_frame_sample": multimodal_frames_sql(),
+    "multimodal_frame_sample_mp4": multimodal_frames_mp4_sql(),
     "multimodal_image_pixels": image_pixel_stats_sql(),
     "multimodal_image_resize": image_resize_thumb_sql(),
     "multimodal_frame_pixels": multimodal_frame_pixels_sql(),

@@ -436,6 +436,206 @@ def wav_payload_for(doc_id: int) -> bytes:
     return build_wav(*wav_meta_for(doc_id), seed=doc_id)
 
 
+# --- mp4 (ISO base media file format) -----------------------------------
+#
+# Fixed-layout fragmentless mp4: ftyp, mdat (frame bytes), moov with a
+# real box tree — mvhd, a video trak (tkhd, mdhd with a per-doc
+# timescale, hdlr 'vide', minf/stbl with stts/stsc/stsz/stco-or-co64)
+# and a decoy AUDIO trak ('soun') the frame sampler must skip. Every
+# sample-table field is spec-encoded (big-endian FullBoxes, stts
+# run-length pairs, 2-samples-per-chunk stsc with an odd-tail entry),
+# so the box-walk parser in operators/multimodal.py is exercised for
+# real while frame offsets/durations stay closed-form for the oracle.
+
+MP4_FTYP_LEN = 20  # size + 'ftyp' + major + minor + 1 compatible brand
+MP4_MDAT_DATA_START = MP4_FTYP_LEN + 8  # first video frame byte
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mp4_fullbox(typ: bytes, body: bytes, version: int = 0) -> bytes:
+    return _mp4_box(typ, bytes([version, 0, 0, 0]) + body)
+
+
+def mp4_frame_count_for(doc_id: int) -> int:
+    return 1 + doc_id % 4
+
+
+def mp4_frame_size_for(doc_id: int, frame_idx: int) -> int:
+    """Closed-form per-frame byte size — byte offsets are its prefix sum."""
+    return 20 + (doc_id * 7 + frame_idx * 13) % 64
+
+
+def mp4_delay_cs_for(doc_id: int, frame_idx: int) -> int:
+    """Closed-form per-frame duration in centiseconds. Constant across
+    each consecutive frame PAIR so the builder's stts run-length
+    encoding has real multi-sample runs to compress."""
+    return 2 + (doc_id + frame_idx // 2) % 5
+
+
+def mp4_timescale_for(doc_id: int) -> int:
+    """Per-doc media timescale (mdhd). A multiple of 100 so planted
+    centisecond durations are exact integers in timescale units — the
+    parser must actually read mdhd to convert back."""
+    return 100 * (1 + doc_id % 3)
+
+
+def mp4_frame_byte_for(doc_id: int, frame_idx: int, j: int) -> int:
+    """Planted j-th payload byte of a frame — lets tests verify that
+    parser-reported offsets point at the real sample bytes in mdat."""
+    return (doc_id + frame_idx * 31 + j) % 256
+
+
+def _mp4_stbl(
+    stts_runs: list[tuple[int, int]],
+    stsc_entries: list[tuple[int, int]],
+    sizes: list[int],
+    chunk_offsets: list[int],
+    use_co64: bool,
+    sample_entry_type: bytes,
+) -> bytes:
+    stsd = _mp4_fullbox(
+        b"stsd",
+        struct.pack(">I", 1)
+        # minimal 16-byte SampleEntry: 6 reserved bytes + data_ref_index
+        + _mp4_box(sample_entry_type, b"\x00" * 6 + struct.pack(">H", 1)),
+    )
+    stts = _mp4_fullbox(
+        b"stts",
+        struct.pack(">I", len(stts_runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in stts_runs),
+    )
+    stsc = _mp4_fullbox(
+        b"stsc",
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in stsc_entries),
+    )
+    stsz = _mp4_fullbox(
+        b"stsz",
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    if use_co64:
+        co = _mp4_fullbox(
+            b"co64",
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        co = _mp4_fullbox(
+            b"stco",
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    return _mp4_box(b"stbl", stsd + stts + stsc + stsz + co)
+
+
+def _mp4_trak(
+    track_id: int,
+    handler: bytes,
+    timescale: int,
+    duration: int,
+    stbl: bytes,
+    media_header: bytes,
+) -> bytes:
+    tkhd = _mp4_fullbox(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, track_id, 0, duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, alt group, volume, pad
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),  # width, height (16.16)
+    )
+    mdhd = _mp4_fullbox(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
+    )
+    hdlr = _mp4_fullbox(
+        b"hdlr",
+        struct.pack(">I", 0) + handler + b"\x00" * 12 + b"synth\x00",
+    )
+    # 12-byte 'url ' fullbox, flag bit 1 = media is in this file
+    url_box = struct.pack(">I", 12) + b"url " + bytes([0, 0, 0, 1])
+    dinf = _mp4_box(b"dinf", _mp4_fullbox(b"dref", struct.pack(">I", 1) + url_box))
+    minf = _mp4_box(b"minf", media_header + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    return _mp4_box(b"trak", tkhd + mdia)
+
+
+def build_mp4(doc_id: int) -> bytes:
+    """Deterministic fragmentless mp4 for ``doc_id``: 1-4 video frames
+    in mdat at closed-form offsets (``MP4_MDAT_DATA_START`` + prefix
+    sum of ``mp4_frame_size_for``), durations ``mp4_delay_cs_for`` in a
+    per-doc mdhd timescale, chunked 2 samples per chunk (odd tail gets
+    its own stsc entry), stco normally and co64 for every 5th doc, plus
+    a one-sample decoy audio trak after the video bytes."""
+    n = mp4_frame_count_for(doc_id)
+    ts_mult = mp4_timescale_for(doc_id) // 100
+    sizes = [mp4_frame_size_for(doc_id, k) for k in range(n)]
+    durs_ts = [mp4_delay_cs_for(doc_id, k) * ts_mult for k in range(n)]
+
+    ftyp = struct.pack(">I", MP4_FTYP_LEN) + b"ftypisom" + struct.pack(">I", 0) + b"isom"
+    frames = b"".join(
+        bytes(mp4_frame_byte_for(doc_id, k, j) for j in range(sizes[k]))
+        for k in range(n)
+    )
+    audio_bytes = bytes((doc_id + j * 3) % 256 for j in range(11))
+    mdat = _mp4_box(b"mdat", frames + audio_bytes)
+
+    # stts run-length encoding of the duration sequence
+    stts_runs: list[tuple[int, int]] = []
+    for d in durs_ts:
+        if stts_runs and stts_runs[-1][1] == d:
+            stts_runs[-1] = (stts_runs[-1][0] + 1, d)
+        else:
+            stts_runs.append((1, d))
+
+    # 2 samples per chunk; an odd trailing sample becomes its own chunk
+    n_chunks = (n + 1) // 2
+    stsc_entries = [(1, min(2, n))]
+    if n > 1 and n % 2 == 1:
+        stsc_entries.append((n_chunks, 1))
+    chunk_offsets = [
+        MP4_MDAT_DATA_START + sum(sizes[: 2 * c]) for c in range(n_chunks)
+    ]
+    audio_offset = MP4_MDAT_DATA_START + sum(sizes)
+
+    video_stbl = _mp4_stbl(
+        stts_runs, stsc_entries, sizes, chunk_offsets,
+        use_co64=(doc_id % 5 == 0), sample_entry_type=b"raw ",
+    )
+    vmhd = struct.pack(">I", 20) + b"vmhd" + bytes([0, 0, 0, 1]) + b"\x00" * 8
+    video = _mp4_trak(
+        1, b"vide", mp4_timescale_for(doc_id), sum(durs_ts), video_stbl, vmhd
+    )
+
+    audio_stbl = _mp4_stbl(
+        [(1, 8000)], [(1, 1)], [len(audio_bytes)], [audio_offset],
+        use_co64=False, sample_entry_type=b"raw ",
+    )
+    smhd = struct.pack(">I", 16) + b"smhd" + bytes([0, 0, 0, 0]) + b"\x00" * 4
+    audio = _mp4_trak(2, b"soun", 8000, 8000, audio_stbl, smhd)
+
+    mvhd = _mp4_fullbox(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, 600, 0)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", 3),  # next track id
+    )
+    moov = _mp4_box(b"moov", mvhd + video + audio)
+    return ftyp + mdat + moov
+
+
+def mp4_payload_for(doc_id: int) -> bytes:
+    return build_mp4(doc_id)
+
+
 def image_meta_for(doc_id: int) -> tuple[str, int, int]:
     """Closed-form (format, width, height) per doc_id — the synthesis
     parameters the decoder must recover, restated by the SQL oracle."""
@@ -547,6 +747,27 @@ def materialize_gifs(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "gifs.parquet", build, cache_root)
+
+
+def materialize_mp4s(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) fragmentless-mp4 corpus (1-4 video
+    frames each, decoy audio trak) for the documents at ``sf_dir``;
+    returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [mp4_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "mp4s.parquet", build, cache_root)
 
 
 def materialize_warc(spark, sf_dir, n_files=8, cache_root=None) -> str:

@@ -1276,13 +1276,63 @@ def test_gif_frame_parse_is_real():
         assert isinstance(gif_frame_info(junk), list)
 
 
+def test_mp4_frame_parse_is_real():
+    """The mp4 sampler must recover offsets/durations from the actual
+    ISO-BMFF sample tables: builder roundtrip (stco and co64 docs, odd
+    and even chunk tails), offsets that point at the planted mdat
+    bytes, the decoy audio trak skipped, and totality on garbage."""
+    from nreadability_spark.operators.multimodal import mp4_frame_info
+    from nreadability_spark.sources import synth
+
+    for d in (0, 1, 3, 5, 7, 12):  # 0/5: co64; 3/7: odd-tail stsc
+        b = synth.build_mp4(d)
+        got = mp4_frame_info(b)
+        n = synth.mp4_frame_count_for(d)
+        assert len(got) == n  # audio trak contributed nothing
+        off = synth.MP4_MDAT_DATA_START
+        for k in range(n):
+            sz = synth.mp4_frame_size_for(d, k)
+            assert got[k] == (k, off, synth.mp4_delay_cs_for(d, k))
+            assert b[off : off + sz] == bytes(
+                synth.mp4_frame_byte_for(d, k, j) for j in range(sz)
+            )
+            off += sz
+    g = synth.build_mp4(9)
+    for junk in (b"", b"\x00" * 64, b"ftyp" * 20, g[:40], g[:-3]):
+        assert mp4_frame_info(junk) == []
+
+
+def test_mp4_frame_parse_structural_variants():
+    """A layout the doc-keyed builder never produces: largesize (64-bit)
+    mdat first in file, fixed-size stsz, one 3-sample chunk — the
+    parser must resolve it from the boxes, not the synth formula."""
+    import struct
+
+    from nreadability_spark.operators.multimodal import mp4_frame_info
+    from nreadability_spark.sources.synth import _mp4_box, _mp4_fullbox, _mp4_trak
+
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 30) + bytes(30)
+    stsd = _mp4_fullbox(
+        b"stsd", struct.pack(">I", 1) + _mp4_box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1))
+    )
+    stts = _mp4_fullbox(b"stts", struct.pack(">III", 1, 3, 200))
+    stsc = _mp4_fullbox(b"stsc", struct.pack(">IIII", 1, 1, 3, 1))
+    stsz = _mp4_fullbox(b"stsz", struct.pack(">II", 10, 3))  # fixed-size branch
+    stco = _mp4_fullbox(b"stco", struct.pack(">II", 1, 16))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = struct.pack(">I", 20) + b"vmhd" + bytes([0, 0, 0, 1]) + b"\x00" * 8
+    moov = _mp4_box(b"moov", _mp4_trak(1, b"vide", 1000, 600, stbl, vmhd))
+    # timescale 1000: 200 ticks -> 20 cs; samples contiguous in one chunk
+    assert mp4_frame_info(mdat + moov) == [(0, 16, 20), (1, 26, 20), (2, 36, 20)]
+
+
 def test_frame_sampling_other_containers_gated(spark):
     from nreadability_spark.operators import multimodal
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    df = multimodal.sample_frames(payloads, container="mp4")
+    df = multimodal.sample_frames(payloads, container="mkv")
     with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
         df.collect()
 
