@@ -1116,6 +1116,329 @@ ORDER BY doc_id
 """
 
 
+# --- baseline JPEG pixel decode (grayscale, ITU T.81) -------------------
+
+# zigzag scan order: entropy-stream position k -> (row, col). Diagonals
+# alternate direction: even r+c runs up-right (row descending), odd
+# runs down-left (row ascending).
+_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+)
+
+_IDCT_A = None
+
+
+def _idct_matrix():
+    """8x8 DCT basis A[u, x] = C(u)/2 * cos((2x+1)u*pi/16); the 2D
+    inverse transform is A.T @ F @ A (ITU T.81 A.3.3)."""
+    global _IDCT_A
+    if _IDCT_A is None:
+        import numpy as np
+
+        x = np.arange(8)
+        u = x.reshape(-1, 1)
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        a[0, :] *= 1 / np.sqrt(2)
+        _IDCT_A = a
+    return _IDCT_A
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment bit reader with 0xFF00 byte
+    unstuffing; stops (returns None bits) at any real marker and
+    records it for ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0:
+            if self.marker is not None or self.pos >= len(self.data):
+                return None
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    return None
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    self.marker = nxt
+                    self.pos += 2
+                    return None
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive_extend(self, size: int) -> int | None:
+        """Read ``size`` magnitude bits and sign-extend per T.81 F.2.2.1."""
+        if size == 0:
+            return 0
+        v = 0
+        for _ in range(size):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    def sync_restart(self) -> int | None:
+        """Drop pad bits, consume the next marker (expected RSTn)."""
+        self.nbits = 0
+        if self.marker is None and self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                self.marker = self.data[self.pos + 1]
+                self.pos += 2
+        m = self.marker
+        self.marker = None
+        return m
+
+
+def _decode_huff(reader: _JpegBitReader, table: dict) -> int | None:
+    """Walk the canonical code bit by bit; codes cap at 16 bits."""
+    code = 0
+    for length in range(1, 17):
+        bit = reader.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def decode_jpeg_gray(data: bytes):
+    """REAL baseline-sequential JPEG decode for single-component
+    (grayscale) images: marker walk (DQT/SOF0/DHT/DRI/SOS), canonical
+    huffman tables built FROM the file's own DHT segments (Annex C
+    assignment — any compliant encoder's tables work, not just our
+    synthesis), differential-DC + run-length-AC entropy decode with
+    0xFF byte unstuffing and RST0-7 restart handling (predictor reset
+    + bit realign), dequantization in zigzag order, float 2D IDCT,
+    +128 level shift, clamp, and edge-block crop. Returns
+    (width, height, uint8 ndarray HxW), or None for anything outside
+    the claimed subset (progressive/multi-component/12-bit) — a
+    documented subset, complete for what it claims, like
+    ``decode_png_rgb8`` above."""
+    import numpy as np
+
+    try:
+        if not data.startswith(b"\xff\xd8"):
+            return None
+        pos = 2
+        qt: dict[int, bytes] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        width = height = None
+        qtab_id = None
+        dc_sel = ac_sel = None
+        restart = 0
+        scan_start = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            m = data[pos + 1]
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if m == 0xDB:  # DQT: one or more (precision|id, 64 zigzag bytes)
+                i = 0
+                while i < len(body):
+                    if body[i] >> 4 != 0:
+                        return None  # 16-bit quant precision: not baseline
+                    qt[body[i] & 15] = body[i + 1 : i + 65]
+                    i += 65
+            elif m == 0xC0:  # SOF0 baseline
+                prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp != 1:
+                    return None
+                qtab_id = body[8]  # per-component: id, sampling, Tq
+            elif m in _JPEG_SOF_MARKERS:  # progressive/lossless/etc.
+                return None
+            elif m == 0xC4:  # DHT: class|id, 16 BITS counts, values
+                i = 0
+                while i < len(body):
+                    tc_th = body[i]
+                    bits = body[i + 1 : i + 17]
+                    nvals = sum(bits)
+                    vals = body[i + 17 : i + 17 + nvals]
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    k = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc_th >> 4, tc_th & 15)] = table
+                    i += 17 + nvals
+            elif m == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", body[:2])
+            elif m == 0xDA:  # SOS: entropy data follows the segment
+                if body[0] != 1:
+                    return None
+                dc_sel = body[2] >> 4
+                ac_sel = body[2] & 15
+                scan_start = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if scan_start is None or not width or not height or qtab_id not in qt:
+            return None
+        dc_table = huff.get((0, dc_sel))
+        ac_table = huff.get((1, ac_sel))
+        if dc_table is None or ac_table is None:
+            return None
+        q = qt[qtab_id]
+        a = _idct_matrix()
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        reader = _JpegBitReader(data, scan_start)
+        prev = 0
+        mcu = 0
+        zz = np.zeros(64)
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and mcu and mcu % restart == 0:
+                    marker = reader.sync_restart()
+                    if marker is None or not 0xD0 <= marker <= 0xD7:
+                        return None
+                    prev = 0
+                s = _decode_huff(reader, dc_table)
+                if s is None:
+                    return None
+                diff = reader.receive_extend(s)
+                if diff is None:
+                    return None
+                prev += diff
+                zz[:] = 0.0
+                zz[0] = prev * q[0]
+                k = 1
+                while k < 64:
+                    sym = _decode_huff(reader, ac_table)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if run != 15:  # only ZRL carries size 0
+                            return None
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    v = reader.receive_extend(size)
+                    if v is None:
+                        return None
+                    zz[k] = v * q[k]
+                    k += 1
+                block = np.zeros((8, 8))
+                for k2, (r, c) in enumerate(_ZIGZAG):
+                    block[r, c] = zz[k2]
+                f = a.T @ block @ a + 128.0
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(f), 0, 255
+                ).astype(np.uint8)
+                mcu += 1
+        return width, height, img[:height, :width]
+    except (struct.error, IndexError):
+        return None
+
+
+GRAY_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_v", T.LongType()),
+        T.StructField("min_v", T.LongType()),
+        T.StructField("max_v", T.LongType()),
+    ]
+)
+
+
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel stats over REAL huffman+IDCT-decoded baseline JPEGs —
+    same map-side shape as ``image_pixel_stats``: decode never leaves
+    the worker, 7 integers per image shuffle to the final sort. The
+    synthesized corpus plants DC-only coefficients whose IDCT is
+    exactly flat per block (lossless by construction), so the stats
+    stay SQL-restatable; AC and restart-marker paths are proven by the
+    unit roundtrip against an independent numpy IDCT."""
+    from nreadability_spark.sources.synth import materialize_jpegs
+
+    payloads = spark.read.parquet(materialize_jpegs(spark, sf_dir))
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_jpeg_gray(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                rows.append(
+                    (
+                        int(doc_id), w, h, w * h,
+                        int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GRAY_PIXEL_SCHEMA.fields]
+            )
+
+    return payloads.mapInPandas(batches, schema=GRAY_PIXEL_SCHEMA).orderBy("doc_id")
+
+
+def jpeg_pixel_stats_sql() -> str:
+    # closed form of synth.jpeg_gray_pixel_for: each 8x8 block is flat
+    # at 2*dcq + 128 (DC-only IDCT is exact), edge blocks cropped to
+    # the non-multiple-of-8 planted dims
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(11 + (doc_id * 3) % 30 AS BIGINT) AS w,
+         CAST(9 + (doc_id * 5) % 22 AS BIGINT) AS h
+  FROM documents
+),
+bx_ AS (
+  SELECT doc_id, w, h, CAST(unnest(range((w + 7) // 8)) AS BIGINT) AS bx
+  FROM dims
+),
+blocks AS (
+  SELECT doc_id, w, h, bx, CAST(unnest(range((h + 7) // 8)) AS BIGINT) AS by
+  FROM bx_
+),
+valued AS (
+  SELECT doc_id, w, h,
+         LEAST(8, w - 8 * bx) * LEAST(8, h - 8 * by) AS cnt,
+         2 * (((doc_id * 7 + bx * 13 + by * 29) % 128) - 64) + 128 AS v
+  FROM blocks
+)
+SELECT doc_id, w AS width, h AS height, w * h AS n_px,
+       CAST(sum(cnt * v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM valued
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode_meta": multimodal_metadata,
     "multimodal_audio_meta": multimodal_audio,
@@ -1123,6 +1446,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frames,
     "multimodal_frame_sample_mp4": multimodal_frames_mp4,
     "multimodal_image_pixels": image_pixel_stats,
+    "multimodal_image_pixels_jpeg": jpeg_pixel_stats,
     "multimodal_image_resize": image_resize_thumb,
     "multimodal_frame_pixels": multimodal_frame_pixels,
 }
@@ -1133,6 +1457,7 @@ ORACLES = {
     "multimodal_frame_sample": multimodal_frames_sql(),
     "multimodal_frame_sample_mp4": multimodal_frames_mp4_sql(),
     "multimodal_image_pixels": image_pixel_stats_sql(),
+    "multimodal_image_pixels_jpeg": jpeg_pixel_stats_sql(),
     "multimodal_image_resize": image_resize_thumb_sql(),
     "multimodal_frame_pixels": multimodal_frame_pixels_sql(),
 }

@@ -436,6 +436,183 @@ def wav_payload_for(doc_id: int) -> bytes:
     return build_wav(*wav_meta_for(doc_id), seed=doc_id)
 
 
+# --- fully-decodable baseline JPEG corpus (grayscale) --------------------
+#
+# Real ITU T.81 baseline-sequential encoding: canonical huffman codes
+# from the public Annex K luminance tables (written into DHT segments),
+# differential DC coding, run-length AC with EOB/ZRL, 0xFF byte
+# stuffing, optional DRI/RSTn restart markers. The corpus plants
+# DC-ONLY quantized coefficients with a uniform quant table of 16, so
+# every 8x8 block reconstructs to the EXACT flat value 2*dcq + 128
+# (IDCT of a lone DC coefficient c is c/8 everywhere, and 16*dcq is
+# divisible by 8) — lossless-by-construction, which keeps the channel
+# stats SQL-restatable. AC paths are exercised by unit tests against
+# an independent numpy IDCT.
+
+JPEG_QUANT = 16  # uniform luminance quant table value
+
+# ITU T.81 Annex K.3.3.1/K.3.3.2 typical luminance huffman tables
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code): the canonical assignment of Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first entropy bit stream with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def flush_and_mark(self, marker: int | None = None) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+        if marker is not None:
+            self.buf += bytes((0xFF, marker))
+
+
+def build_jpeg_gray(
+    width: int,
+    height: int,
+    dcq_fn,
+    ac_fn=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline-sequential grayscale JPEG. ``dcq_fn(bx, by)``
+    plants each block's quantized DC coefficient; ``ac_fn(bx, by)``
+    optionally returns {zigzag_index 1..63: quantized coef} for AC
+    energy. ``restart_interval`` > 0 writes a DRI segment and cycles
+    RST0-7 markers every that many blocks (DC predictor resets)."""
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([JPEG_QUANT] * 64)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+
+    w = _JpegBitWriter()
+    prev = 0
+    mcu = 0
+    n_rst = 0
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush_and_mark(0xD0 + n_rst % 8)
+                n_rst += 1
+                prev = 0
+            dc = dcq_fn(bx, by)
+            diff = dc - prev
+            prev = dc
+            s = abs(diff).bit_length()
+            ln, code = dc_codes[s]
+            w.write(code, ln)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            ac = ac_fn(bx, by) if ac_fn else {}
+            coefs = [ac.get(k, 0) for k in range(1, 64)]
+            last = max((i for i, c in enumerate(coefs) if c), default=-1)
+            run = 0
+            for i in range(last + 1):
+                c = coefs[i]
+                if c == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    w.write(code, ln)
+                    run -= 16
+                s2 = abs(c).bit_length()
+                ln, code = ac_codes[(run << 4) | s2]
+                w.write(code, ln)
+                w.write(c if c > 0 else c + (1 << s2) - 1, s2)
+                run = 0
+            if last < 62:
+                ln, code = ac_codes[0x00]  # EOB
+                w.write(code, ln)
+            mcu += 1
+    w.flush_and_mark(0xD9)  # EOI
+    return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + bytes(w.buf)
+
+
+def jpeg_gray_dims_for(doc_id: int) -> tuple[int, int]:
+    """Closed-form (width, height); deliberately NOT multiples of 8 so
+    edge-block cropping is exercised."""
+    return 11 + (doc_id * 3) % 30, 9 + (doc_id * 5) % 22
+
+
+def jpeg_block_dcq_for(doc_id: int, bx: int, by: int) -> int:
+    """Planted quantized DC coefficient per block, in [-64, 63]."""
+    return ((doc_id * 7 + bx * 13 + by * 29) % 128) - 64
+
+
+def jpeg_gray_pixel_for(doc_id: int, x: int, y: int) -> int:
+    """The exact reconstructed sample: 16*dcq dequantized, /8 by the
+    DC-only IDCT, +128 level shift — always in [0, 254]."""
+    return 2 * jpeg_block_dcq_for(doc_id, x // 8, y // 8) + 128
+
+
+def jpeg_gray_payload_for(doc_id: int) -> bytes:
+    w, h = jpeg_gray_dims_for(doc_id)
+    return build_jpeg_gray(
+        w, h, lambda bx, by: jpeg_block_dcq_for(doc_id, bx, by)
+    )
+
+
 # --- mp4 (ISO base media file format) -----------------------------------
 #
 # Fixed-layout fragmentless mp4: ftyp, mdat (frame bytes), moov with a
@@ -768,6 +945,27 @@ def materialize_mp4s(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "mp4s.parquet", build, cache_root)
+
+
+def materialize_jpegs(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) fully-decodable baseline grayscale
+    JPEG corpus for the documents at ``sf_dir``; returns the cached
+    parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [jpeg_gray_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "jpegs.parquet", build, cache_root)
 
 
 def materialize_warc(spark, sf_dir, n_files=8, cache_root=None) -> str:

@@ -317,6 +317,116 @@ def test_image_pixel_ops_match_oracle(spark, duck):
     )
 
 
+def test_jpeg_decode_dc_only_is_exact():
+    """The planted DC-only corpus must reconstruct losslessly: the
+    IDCT of a lone DC coefficient is flat, 16*dcq/8 + 128 exactly."""
+    import numpy as np
+
+    from nreadability_spark.operators.multimodal import decode_jpeg_gray
+    from nreadability_spark.sources import synth
+
+    for d in (0, 1, 7, 19, 123, 4096):
+        w, h = synth.jpeg_gray_dims_for(d)
+        out = decode_jpeg_gray(synth.jpeg_gray_payload_for(d))
+        assert out is not None
+        got_w, got_h, px = out
+        assert (got_w, got_h) == (w, h)
+        exp = np.array(
+            [[synth.jpeg_gray_pixel_for(d, x, y) for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (px == exp).all()
+
+
+def test_jpeg_decode_ac_and_restarts_vs_independent_idct():
+    """The decoder must be GENERAL baseline JPEG, not just the DC-only
+    synthesis: encode blocks with sparse AC energy (exercising ZRL,
+    EOB, run-length gaps and byte stuffing) and with restart markers,
+    and compare every reconstructed block against an independent
+    quadruple-loop IDCT written from the T.81 formula."""
+    import numpy as np
+
+    from nreadability_spark.operators.multimodal import decode_jpeg_gray
+    from nreadability_spark.sources import synth
+
+    def ref_idct(block):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * block[u, v]
+                            * np.cos((2 * y + 1) * u * np.pi / 16)
+                            * np.cos((2 * x + 1) * v * np.pi / 16)
+                        )
+                out[y, x] = s / 4
+        return out
+
+    zig = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+    )
+
+    def ac_fn(bx, by):
+        return {
+            k: ((bx * 7 + by * 3 + k) % 9) - 4
+            for k in range(1, 64)
+            if (bx * 31 + by * 17 + k * 13) % 11 == 0
+        }
+
+    def dc_fn(bx, by):
+        return ((bx * 5 + by * 11) % 64) - 32
+
+    w, h = 24, 16
+    data = synth.build_jpeg_gray(w, h, dc_fn, ac_fn)
+    out = decode_jpeg_gray(data)
+    assert out is not None
+    _, _, px = out
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            coefs = np.zeros((8, 8))
+            zz = np.zeros(64)
+            zz[0] = dc_fn(bx, by) * synth.JPEG_QUANT
+            for k, c in ac_fn(bx, by).items():
+                zz[k] = c * synth.JPEG_QUANT
+            for k, (r, c) in enumerate(zig):
+                coefs[r, c] = zz[k]
+            exp = np.clip(np.rint(ref_idct(coefs) + 128), 0, 255).astype(np.uint8)
+            assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == exp).all()
+
+    # restart markers: DRI + RSTn cycling must reproduce the same image
+    data_r = synth.build_jpeg_gray(w, h, dc_fn, ac_fn, restart_interval=2)
+    assert len(data_r) != len(data)  # markers actually present
+    out_r = decode_jpeg_gray(data_r)
+    assert out_r is not None and (out_r[2] == px).all()
+
+
+def test_jpeg_decode_rejects_out_of_subset():
+    from nreadability_spark.operators.multimodal import decode_jpeg_gray
+    from nreadability_spark.sources import synth
+
+    assert decode_jpeg_gray(b"") is None
+    assert decode_jpeg_gray(b"\xff\xd8 junk") is None
+    # header-only JFIF synthesis (no DHT/SOS) is metadata-grade, not decodable
+    assert decode_jpeg_gray(synth.build_jpeg(100, 50)) is None
+    # PNG bytes are not a JPEG
+    assert decode_jpeg_gray(synth.build_png(8, 8)) is None
+
+
+def test_jpeg_pixel_stats_match_oracle(spark, duck):
+    from nreadability_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.jpeg_pixel_stats(spark, SF_DIR),
+        multimodal.jpeg_pixel_stats_sql(),
+        duck,
+    )
+
+
 def test_gif_lzw_decode_roundtrips_independent_encoder():
     """The LZW decoder must be GENERAL — reconstruct arbitrary pixel
     sequences written by an independent spec-following encoder (code
