@@ -130,9 +130,19 @@ def main():
         extract_sec = min(extract_sec, time.monotonic() - t0)
     src.unpersist()
 
+    # full-registry pack: HEADLINE (stable cross-round comparison order)
+    # then every remaining registry query, so BENCH_DETAIL.json carries
+    # a number for ALL entries each round. extract_transcripts is
+    # excluded here — the throughput headline above already measures it
+    # under the stricter fresh-session protocol (its key in `times` is
+    # that measurement).
+    pack = list(HEADLINE) + sorted(
+        n for n in qs if n not in HEADLINE and n != "extract_transcripts"
+    )
+
     times = {}
     steady = {}
-    for name in HEADLINE:
+    for name in pack:
         # build INSIDE the timed region: for most queries construction
         # is pure plan assembly (ms), but the iterative fits that
         # collect per round (BPE merges, logistic GD) do their cluster

@@ -105,6 +105,118 @@ def bench_extract_skew(spark, convs, giant, rounds):
     }
 
 
+def bench_offset_skew(spark, turns, rounds):
+    """C. Offsets stage in isolation at a 10^6-turn conversation: the
+    crossover SKEW.md section A predicts. The input is the POST-UDF
+    shape (conv_id, turn_idx, content_text) synthesized with native
+    expressions and materialized once to parquet — the UDF stage's
+    cost is variant-invariant (the same rows pass through it either
+    way), so paying ~10^6 real HTML extractions per arm would only
+    dilute the window-stage delta being measured. Row distribution
+    matches what the salted UDF stage leaves behind
+    (repartition on xxhash64(conv_id, turn_idx)).
+
+    Arms: the plain conv_id window (one task holds the whole giant
+    conversation — AQE cannot split window partitions) vs the blocked
+    two-phase offsets (every partition bounded at block_size rows by
+    construction). Both arms' offset sums are cross-checked for
+    equality before timing."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.plans.extract_job import with_conv_offsets_two_phase
+
+    lorem = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 40)[:2000]
+    n_median_convs = 2400
+    parallelism = 2 * spark.sparkContext.defaultParallelism
+
+    giant = spark.range(turns).select(
+        F.lit("conv00000000").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+    )
+    med = spark.range(n_median_convs * 7).select(
+        F.format_string("conv%08d", (F.col("id") / 7).cast("long") + 1).alias(
+            "conv_id"
+        ),
+        F.pmod(F.col("id"), F.lit(7)).cast("int").alias("turn_idx"),
+    )
+    src = (
+        giant.unionByName(med)
+        .withColumn(
+            "content_text",
+            F.expr(
+                f"substring('{lorem}', 1,"
+                " 50 + cast(pmod(xxhash64(conv_id, turn_idx), 1900) as int))"
+            ),
+        )
+        .repartition(parallelism, F.xxhash64("conv_id", "turn_idx"))
+    )
+    tmp = tempfile.mkdtemp(prefix="offset_skew_")
+    path = os.path.join(tmp, "src.parquet")
+    src.write.parquet(path)
+    base = spark.read.parquet(path)
+    n_rows = base.count()
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def plain(df):
+        return df.withColumn(
+            "conv_offset",
+            F.coalesce(F.sum(F.length("content_text")).over(w), F.lit(0)).cast(
+                "long"
+            ),
+        )
+
+    variants = {
+        "plain_window": plain,
+        "two_phase": with_conv_offsets_two_phase,
+    }
+    out_cols = ["conv_id", "turn_idx", "conv_offset"]
+
+    # correctness cross-check first (untimed): identical offset checksums
+    sums = {
+        name: fn(base)
+        .agg(
+            F.sum("conv_offset"),
+            F.expr("bit_xor(xxhash64(conv_id, turn_idx, conv_offset))"),
+        )
+        .collect()[0]
+        for name, fn in variants.items()
+    }
+    assert sums["plain_window"] == sums["two_phase"], sums
+
+    best: dict[str, float] = {}
+    for rnd in range(rounds):
+        for name, fn in variants.items():
+            df = fn(base).select(*out_cols)
+            t0 = time.monotonic()
+            _noop(df)
+            sec = round(time.monotonic() - t0, 3)
+            best[name] = min(best.get(name, float("inf")), sec)
+            print(f"# offset-skew round {rnd} {name}: {sec}s", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "giant_turns": turns,
+        "input_rows": n_rows,
+        "walls_sec": best,
+        "speedup_two_phase": round(best["plain_window"] / best["two_phase"], 2),
+    }
+
+
+def bench_offset_skew_sweep(spark, turns_list, rounds):
+    """Section C at several giant-conversation sizes: the point is the
+    CROSSOVER, so one size is not evidence — measure where the plain
+    window is still fine and where it becomes the pin."""
+    return [bench_offset_skew(spark, t, rounds) for t in turns_list]
+
+
 def _legacy_line_dedup(spark, sf_dir):
     """The pre-round-4 tag join: probe joins the FULL frequency table
     inner on line_h. Kept inline here (not in the operator) as the
@@ -262,8 +374,62 @@ def _hot_partition_rows(spark, sf_dir, salt):
 
 def render_md(res):
     a, b = res["extract_conv_skew"], res["line_dedup_join_skew"]
+    sweep = res["offset_window_skew"]
     w = a["walls_sec"]
     hot = b["hot_partition_rows"]
+    c_rows = "\n".join(
+        f"| {c['giant_turns']:,} | {c['walls_sec']['plain_window']} |"
+        f" {c['walls_sec']['two_phase']} | {c['speedup_two_phase']}x |"
+        for c in sweep
+    )
+    winners = [c for c in sweep if c["speedup_two_phase"] >= 1.15]
+    losers = [c for c in sweep if c["speedup_two_phase"] < 1.15]
+    if winners:
+        first = winners[0]
+        loser_sizes = ", ".join(format(c["giant_turns"], ",") for c in losers)
+        below = (
+            f"below it (measured at {loser_sizes} turns) "
+            "the plain window still wins or ties — the hot partition fits "
+            "one cheap task and the two-phase join is pure overhead"
+            if losers
+            else "every measured size is past it"
+        )
+        c_verdict = (
+            f"the predicted pin is REAL and the crossover sits below "
+            f"{first['giant_turns']:,} turns, where two-phase wins by "
+            f"**{first['speedup_two_phase']}x** — the single window task "
+            "must shuffle, sort and scan the whole giant conversation "
+            "while the blocked variant never builds a partition over "
+            f"block_size rows; {below}. This revises section A's earlier "
+            "wording (which placed the pin at exactly 10^6 turns): on this "
+            "box the insurance becomes mandatory in the few-million-turn "
+            "range, earlier on busier executors — production heaps share "
+            "the task with everything else"
+        )
+    else:
+        c_verdict = (
+            "the predicted crossover did NOT materialize at any measured "
+            "size — the section-A claim is hereby revised: the plain "
+            "window remains competitive through the largest size tested"
+        )
+    section_c = f"""
+**C. giant-conversation offsets stage, isolated, at increasing size.**
+The post-UDF shape (one conversation of N turns among 2400 median
+ones, text lengths 50-1950 planted) is materialized to parquet once
+per size, distributed exactly as the salted UDF stage leaves it; both
+arms' offsets checksum-match before timing. Best of {res['rounds']}
+interleaved rounds per size:
+
+| giant turns | plain window sec | two-phase sec | two-phase speedup |
+|---|---|---|---|
+{c_rows}
+
+Measured, {c_verdict}. The UDF-stage cost is variant-invariant and
+excluded by construction (section A times it); this section times only
+the stage the two variants disagree on — the conv_id-keyed shuffle +
+window, the one place AQE offers no help (it splits skewed joins,
+never window partitions).
+"""
     return f"""## Planted-skew benchmark (bench/skew_bench.py)
 
 **A. conv_id hot key, extraction stage.** One conversation of
@@ -286,10 +452,10 @@ always pays this one extra shuffle (BENCH/BASELINE.md protocol notes).
 The two-phase offset variant reads slower here because it trades an
 extra join for a BOUNDED window partition (block_size rows max) — at
 {a['giant_turns']} turns the plain window's single partition is still
-cheap, so the insurance costs more than it saves; it exists for the
-10^6-turn conversation where the single-task window (which AQE also
-cannot split) becomes the pin.
-
+cheap, so the insurance costs more than it saves; section C measures
+the 10^6-turn conversation where the single-task window (which AQE
+also cannot split) becomes the pin.
+{section_c}
 **B. line_h hot key, tag-back join of `text_line_dedup`.** The promo
 line planted in every document is the hot key
 (sf_dir={res['sf_dir']}). This bench DISPROVED the repo's prior claim
@@ -338,6 +504,10 @@ def main():
     ap.add_argument("--convs", type=int, default=1200)
     ap.add_argument("--giant", type=int, default=4000)
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument(
+        "--offset-turns", default="1000000,4000000",
+        help="comma-separated giant-conversation sizes for section C",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -360,6 +530,11 @@ def main():
         "sf_dir": args.sf_dir,
         "extract_conv_skew": bench_extract_skew(
             spark, args.convs, args.giant, args.rounds
+        ),
+        "offset_window_skew": bench_offset_skew_sweep(
+            spark,
+            [int(t) for t in str(args.offset_turns).split(",") if t],
+            args.rounds,
         ),
         "line_dedup_join_skew": bench_line_dedup_skew(
             spark, args.sf_dir, args.rounds
