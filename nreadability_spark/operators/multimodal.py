@@ -582,23 +582,187 @@ def mp4_frame_info(data: bytes) -> list[tuple[int, int, int]]:
         return []
 
 
-_FRAME_PARSERS = {"gif": gif_frame_info, "mp4": mp4_frame_info}
+# --- Matroska (mkv) container walk -------------------------------------
+
+_MKV_MAX_BLOCKS = 1 << 20  # bomb bound, same idea as _MP4_MAX_SAMPLES
+_MKV_SEGMENT = b"\x18\x53\x80\x67"
+_MKV_INFO = b"\x15\x49\xa9\x66"
+_MKV_TIMESTAMP_SCALE = b"\x2a\xd7\xb1"
+_MKV_TRACKS = b"\x16\x54\xae\x6b"
+_MKV_TRACK_ENTRY = b"\xae"
+_MKV_TRACK_NUMBER = b"\xd7"
+_MKV_TRACK_TYPE = b"\x83"
+_MKV_DEFAULT_DURATION = b"\x23\xe3\x83"
+_MKV_CLUSTER = b"\x1f\x43\xb6\x75"
+_MKV_CLUSTER_TS = b"\xe7"
+_MKV_SIMPLE_BLOCK = b"\xa3"
+_MKV_BLOCK_GROUP = b"\xa0"
+_MKV_BLOCK = b"\xa1"
+_MKV_BLOCK_DURATION = b"\x9b"
+
+
+def _ebml_vint_at(data: bytes, i: int, end: int):
+    """Decode one EBML size/track varint at ``i`` (any width 1-8, per
+    RFC 8794): returns (value, next_i), where value None is the
+    reserved all-value-bits-set 'unknown size'. Raises ValueError on a
+    zero lead byte or truncation."""
+    if i >= end:
+        raise ValueError("truncated varint")
+    b0 = data[i]
+    if b0 == 0:
+        raise ValueError("varint wider than 8 bytes")
+    width = 9 - b0.bit_length()
+    if i + width > end:
+        raise ValueError("truncated varint")
+    marker = 1 << (7 * width)
+    v = int.from_bytes(data[i : i + width], "big") - marker
+    if v == marker - 1:
+        return None, i + width
+    return v, i + width
+
+
+def _mkv_elements(data: bytes, start: int, end: int):
+    """Yield (id_bytes, body_start, body_end) for the EBML elements in
+    data[start:end). An unknown-size element (legal for Segment and
+    Cluster in streamed files) extends to ``end``; stops at the first
+    malformed header, like ``_mp4_boxes``."""
+    i = start
+    while i < end:
+        b0 = data[i]
+        if b0 == 0:
+            return
+        idw = 9 - b0.bit_length()
+        if idw > 4 or i + idw > end:
+            return
+        eid = bytes(data[i : i + idw])
+        try:
+            size, body = _ebml_vint_at(data, i + idw, end)
+        except ValueError:
+            return
+        if size is None:
+            yield eid, body, end
+            return
+        if body + size > end:
+            return
+        yield eid, body, body + size
+        i = body + size
+
+
+def _mkv_uint(data: bytes, s: int, e: int) -> int:
+    return int.from_bytes(data[s:e], "big")
+
+
+def mkv_frame_info(data: bytes) -> list[tuple[int, int, int]]:
+    """Real Matroska frame sampling (public spec: the Matroska element
+    tables + RFC 8794 EBML, stdlib ints only): decode EBML varints from
+    the stream (any width; unknown-size Segment handled), read
+    TimestampScale from Info, pick the TrackType==1 video TrackEntry
+    from Tracks, then walk Clusters collecting that track's SimpleBlock
+    and BlockGroup/Block frames (laced blocks out of scope). Per-frame
+    duration in centiseconds comes from BlockDuration when present,
+    else the delta to the next video block's timestamp, else the track
+    DefaultDuration — the three places Matroska players get it. Like
+    ``mp4_frame_info``, this is the seek table a frame-extraction stage
+    consumes; codec entropy decode stays out of scope. Returns [] for
+    anything unparseable (total, never a crash on a hostile row)."""
+    try:
+        seg = None
+        for eid, bs, be in _mkv_elements(data, 0, len(data)):
+            if eid == _MKV_SEGMENT:
+                seg = (bs, be)
+                break
+        if seg is None:
+            return []
+        scale = 1_000_000  # spec default ns/tick
+        video_track = None
+        default_dur_ns = 0
+        blocks: list[tuple[int, int, int | None]] = []  # (ts, off, dur_ticks)
+        for eid, bs, be in _mkv_elements(data, seg[0], seg[1]):
+            if eid == _MKV_INFO:
+                for e2, s2, e2e in _mkv_elements(data, bs, be):
+                    if e2 == _MKV_TIMESTAMP_SCALE:
+                        scale = _mkv_uint(data, s2, e2e) or scale
+            elif eid == _MKV_TRACKS:
+                for e2, s2, e2e in _mkv_elements(data, bs, be):
+                    if e2 != _MKV_TRACK_ENTRY:
+                        continue
+                    num = typ = dur = 0
+                    for e3, s3, e3e in _mkv_elements(data, s2, e2e):
+                        if e3 == _MKV_TRACK_NUMBER:
+                            num = _mkv_uint(data, s3, e3e)
+                        elif e3 == _MKV_TRACK_TYPE:
+                            typ = _mkv_uint(data, s3, e3e)
+                        elif e3 == _MKV_DEFAULT_DURATION:
+                            dur = _mkv_uint(data, s3, e3e)
+                    if typ == 1 and video_track is None:
+                        video_track, default_dur_ns = num, dur
+            elif eid == _MKV_CLUSTER:
+                cluster_ts = 0
+                for e2, s2, e2e in _mkv_elements(data, bs, be):
+                    if e2 == _MKV_CLUSTER_TS:
+                        cluster_ts = _mkv_uint(data, s2, e2e)
+                        continue
+                    if e2 not in (_MKV_SIMPLE_BLOCK, _MKV_BLOCK_GROUP):
+                        continue
+                    dur_ticks: int | None = None
+                    if e2 == _MKV_BLOCK_GROUP:
+                        blk = None
+                        for e3, s3, e3e in _mkv_elements(data, s2, e2e):
+                            if e3 == _MKV_BLOCK:
+                                blk = (s3, e3e)
+                            elif e3 == _MKV_BLOCK_DURATION:
+                                dur_ticks = _mkv_uint(data, s3, e3e)
+                        if blk is None:
+                            continue
+                        s2, e2e = blk
+                    track, p = _ebml_vint_at(data, s2, e2e)
+                    if track is None or p + 3 > e2e:
+                        continue
+                    rel = int.from_bytes(data[p : p + 2], "big", signed=True)
+                    if data[p + 2] & 0x06:  # laced block: out of scope
+                        continue
+                    if track == video_track:
+                        if len(blocks) >= _MKV_MAX_BLOCKS:
+                            return []
+                        blocks.append((cluster_ts + rel, p + 3, dur_ticks))
+        if video_track is None:
+            return []
+        out: list[tuple[int, int, int]] = []
+        for k, (ts, off, dur_ticks) in enumerate(blocks):
+            if dur_ticks is None and k + 1 < len(blocks):
+                dur_ticks = blocks[k + 1][0] - ts
+            if dur_ticks is not None:
+                cs = dur_ticks * scale // 10_000_000
+            else:
+                cs = default_dur_ns // 10_000_000
+            out.append((k, off, cs))
+        return out
+    except (IndexError, ValueError):
+        return []
+
+
+_FRAME_PARSERS = {
+    "gif": gif_frame_info,
+    "mp4": mp4_frame_info,
+    "mkv": mkv_frame_info,
+}
 
 
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", container: str = "gif"
 ) -> DataFrame:
-    """binary payload -> one row per frame (offset + delay). GIF and
-    mp4 (ISO BMFF) parse for REAL (container/box walks, stdlib only);
-    remaining containers (mkv) and codec entropy decode raise at the
-    exact call site where av/ffmpeg would run on a real cluster."""
+    """binary payload -> one row per frame (offset + delay). GIF, mp4
+    (ISO BMFF) and mkv (Matroska/EBML) parse for REAL (container/box
+    walks, stdlib only); codec entropy decode and any other container
+    raise at the exact call site where av/ffmpeg would run on a real
+    cluster."""
     parser = _FRAME_PARSERS.get(container)
     if parser is None:
         def gated(it):
             raise NotImplementedError(
                 f"{container} frame sampling requires a media container "
-                "parser not present in this sandbox; GIF and mp4 parse "
-                "for real (codec entropy decode stays out of scope)"
+                "parser not present in this sandbox; GIF, mp4 and mkv "
+                "parse for real (codec entropy decode stays out of scope)"
             )
             yield  # pragma: no cover
 
@@ -644,6 +808,56 @@ def multimodal_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = spark.read.parquet(materialize_mp4s(spark, sf_dir))
     return sample_frames(payloads, container="mp4").orderBy("doc_id", "frame_idx")
+
+
+def multimodal_frames_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Matroska frame sampling over the materialized mkv corpus
+    (1-4 video frames per doc as alternating SimpleBlock /
+    BlockGroup+BlockDuration clusters, per-doc TimestampScale, decoy
+    audio track). The oracle restates the builder's fixed-width layout
+    (per-frame cluster overhead + prefix-sum sizes), so a walk that
+    misreads any varint, timestamp scale or duration source
+    hash-mismatches."""
+    from nreadability_spark.sources.synth import materialize_mkvs
+
+    payloads = spark.read.parquet(materialize_mkvs(spark, sf_dir))
+    return sample_frames(payloads, container="mkv").orderBy("doc_id", "frame_idx")
+
+
+def multimodal_frames_mkv_sql() -> str:
+    from nreadability_spark.sources.synth import (
+        MKV_BG_DATA_SKIP,
+        MKV_BLOCKGROUP_EXTRA,
+        MKV_CLUSTER_OV,
+        MKV_CLUSTERS_START,
+        MKV_SB_DATA_SKIP,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n_frames FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx FROM base
+),
+sized AS (
+  SELECT doc_id, frame_idx,
+         20 + (doc_id * 11 + frame_idx * 17) % 64
+           + {MKV_CLUSTER_OV}
+           + {MKV_BLOCKGROUP_EXTRA} * (frame_idx % 2) AS cluster_len
+  FROM frames
+)
+SELECT doc_id, frame_idx,
+       CAST({MKV_CLUSTERS_START} + COALESCE(SUM(cluster_len) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + CASE WHEN frame_idx % 2 = 0
+                   THEN {MKV_SB_DATA_SKIP} ELSE {MKV_BG_DATA_SKIP} END
+            AS BIGINT) AS byte_offset,
+       CAST(2 + (doc_id * 3 + frame_idx) % 7 AS BIGINT) AS delay_cs
+FROM sized
+ORDER BY doc_id, frame_idx
+"""
 
 
 def multimodal_frames_mp4_sql() -> str:
@@ -1445,6 +1659,7 @@ QUERIES = {
     "multimodal_audio_samples": multimodal_audio_samples,
     "multimodal_frame_sample": multimodal_frames,
     "multimodal_frame_sample_mp4": multimodal_frames_mp4,
+    "multimodal_frame_sample_mkv": multimodal_frames_mkv,
     "multimodal_image_pixels": image_pixel_stats,
     "multimodal_image_pixels_jpeg": jpeg_pixel_stats,
     "multimodal_image_resize": image_resize_thumb,
@@ -1456,6 +1671,7 @@ ORACLES = {
     "multimodal_audio_samples": multimodal_audio_samples_sql(),
     "multimodal_frame_sample": multimodal_frames_sql(),
     "multimodal_frame_sample_mp4": multimodal_frames_mp4_sql(),
+    "multimodal_frame_sample_mkv": multimodal_frames_mkv_sql(),
     "multimodal_image_pixels": image_pixel_stats_sql(),
     "multimodal_image_pixels_jpeg": jpeg_pixel_stats_sql(),
     "multimodal_image_resize": image_resize_thumb_sql(),

@@ -813,6 +813,171 @@ def mp4_payload_for(doc_id: int) -> bytes:
     return build_mp4(doc_id)
 
 
+# --- mkv (Matroska / EBML) ----------------------------------------------
+#
+# Fixed-layout Matroska file (public spec: the Matroska element tables
+# + RFC 8794 EBML): EBML header (DocType matroska), then a Segment
+# holding Info (TimestampScale, per-doc), Tracks (a real video
+# TrackEntry with DefaultDuration plus a decoy AUDIO entry the sampler
+# must skip), then one Cluster per video frame — even frames written as
+# SimpleBlock, odd frames as BlockGroup/Block + BlockDuration so the
+# parser has to handle both block forms and all three duration sources
+# — and a trailing audio-track cluster. All size varints are written at
+# FIXED widths so every frame's byte offset stays closed-form for the
+# DuckDB oracle; the parser must still read widths from the stream,
+# proven by the minimal-width re-encode test.
+
+MKV_EBML_LEN = 20  # EBML header element incl. DocType + DocTypeVersion
+MKV_SEGMENT_HDR = 12  # 4-byte Segment id + 8-byte size varint
+MKV_INFO_LEN = 13  # Info element incl. TimestampScale
+MKV_TRACKS_LEN = 29  # Tracks incl. video (16) + decoy audio (8) entries
+MKV_CLUSTERS_START = MKV_EBML_LEN + MKV_SEGMENT_HDR + MKV_INFO_LEN + MKV_TRACKS_LEN
+MKV_CLUSTER_OV = 17  # cluster hdr + Timestamp + SimpleBlock overhead
+MKV_BLOCKGROUP_EXTRA = 7  # extra bytes a BlockGroup frame carries
+MKV_SB_DATA_SKIP = 17  # cluster start -> SimpleBlock frame data
+MKV_BG_DATA_SKIP = 20  # cluster start -> BlockGroup frame data
+
+
+def _ebml_vint(value: int, width: int | None = None) -> bytes:
+    """EBML varint for a SIZE field: ``width`` leading bytes with the
+    marker bit in the first. ``width=None`` picks the minimal encoding
+    (the all-value-bits-set pattern is reserved for 'unknown size', so
+    minimal width still excludes it)."""
+    if width is None:
+        width = 1
+        while value >= (1 << (7 * width)) - 1:
+            width += 1
+    return ((1 << (7 * width)) | value).to_bytes(width, "big")
+
+
+def _ebml_elem(eid: bytes, payload: bytes, width: int | None = None) -> bytes:
+    return eid + _ebml_vint(len(payload), width) + payload
+
+
+def mkv_frame_count_for(doc_id: int) -> int:
+    return 1 + doc_id % 4
+
+
+def mkv_frame_size_for(doc_id: int, frame_idx: int) -> int:
+    """Closed-form per-frame byte size (constants distinct from mp4's
+    so a parser cross-wiring the two corpora can't pass both)."""
+    return 20 + (doc_id * 11 + frame_idx * 17) % 64
+
+
+def mkv_delay_cs_for(doc_id: int, frame_idx: int) -> int:
+    return 2 + (doc_id * 3 + frame_idx) % 7
+
+
+def mkv_ticks_per_cs_for(doc_id: int) -> int:
+    """Ticks per centisecond; TimestampScale = 10^7 / this (ns/tick).
+    Divisors of 10 only, so planted centisecond delays are exact in
+    ticks — the parser must actually read TimestampScale to convert."""
+    return (10, 5, 2)[doc_id % 3]
+
+
+def mkv_frame_byte_for(doc_id: int, frame_idx: int, j: int) -> int:
+    return (doc_id * 5 + frame_idx * 7 + j) % 256
+
+
+def mkv_frame_offset_for(doc_id: int, frame_idx: int) -> int:
+    """Closed-form absolute offset of the frame's first data byte —
+    the arithmetic the SQL oracle restates."""
+    off = MKV_CLUSTERS_START
+    for j in range(frame_idx):
+        off += (
+            MKV_CLUSTER_OV
+            + mkv_frame_size_for(doc_id, j)
+            + MKV_BLOCKGROUP_EXTRA * (j % 2)
+        )
+    return off + (MKV_SB_DATA_SKIP if frame_idx % 2 == 0 else MKV_BG_DATA_SKIP)
+
+
+def build_mkv(doc_id: int, fixed_widths: bool = True) -> bytes:
+    """Deterministic Matroska file for ``doc_id``: 1-4 video frames as
+    one cluster each (even frame_idx -> SimpleBlock, odd -> BlockGroup
+    with BlockDuration), cluster timestamps the prefix sums of the
+    planted delays in a per-doc TimestampScale, a DefaultDuration that
+    covers the last frame when it is a SimpleBlock, and a decoy
+    audio-track cluster. ``fixed_widths=False`` re-encodes every size
+    varint minimally — same semantic content at different offsets, used
+    to prove the parser reads widths from the stream rather than
+    assuming this builder's layout."""
+    w1 = 1 if fixed_widths else None
+    w2 = 2 if fixed_widths else None
+    w8 = 8 if fixed_widths else None
+    n = mkv_frame_count_for(doc_id)
+    mult = mkv_ticks_per_cs_for(doc_id)
+    scale = 10_000_000 // mult  # ns per tick
+    delays = [mkv_delay_cs_for(doc_id, k) for k in range(n)]
+
+    ebml = _ebml_elem(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_elem(b"\x42\x82", b"matroska", w1)
+        + _ebml_elem(b"\x42\x87", b"\x04", w1),
+        w1,
+    )
+    info = _ebml_elem(
+        b"\x15\x49\xa9\x66",
+        _ebml_elem(b"\x2a\xd7\xb1", struct.pack(">I", scale), w1),
+        w1,
+    )
+    video_entry = _ebml_elem(
+        b"\xae",
+        _ebml_elem(b"\xd7", b"\x01", w1)  # TrackNumber 1
+        + _ebml_elem(b"\x83", b"\x01", w1)  # TrackType video
+        + _ebml_elem(
+            b"\x23\xe3\x83", struct.pack(">I", delays[-1] * 10_000_000), w1
+        ),
+        w1,
+    )
+    audio_entry = _ebml_elem(
+        b"\xae",
+        _ebml_elem(b"\xd7", b"\x02", w1) + _ebml_elem(b"\x83", b"\x02", w1),
+        w1,
+    )
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", video_entry + audio_entry, w1)
+
+    clusters = b""
+    ts_cs = 0
+    for k in range(n):
+        frame = bytes(
+            mkv_frame_byte_for(doc_id, k, j)
+            for j in range(mkv_frame_size_for(doc_id, k))
+        )
+        # block payload: track varint, int16 relative timestamp, flags
+        block_payload = b"\x81" + struct.pack(">h", 0) + b"\x00" + frame
+        if k % 2 == 0:
+            block = _ebml_elem(b"\xa3", block_payload, w2)
+        else:
+            block = _ebml_elem(
+                b"\xa0",
+                _ebml_elem(b"\xa1", block_payload, w2)
+                + _ebml_elem(b"\x9b", struct.pack(">H", delays[k] * mult), w1),
+                w2,
+            )
+        body = _ebml_elem(b"\xe7", struct.pack(">H", ts_cs * mult), w1) + block
+        clusters += _ebml_elem(b"\x1f\x43\xb6\x75", body, w2)
+        ts_cs += delays[k]
+
+    audio_frame = bytes((doc_id + j * 3) % 256 for j in range(11))
+    audio_cluster = _ebml_elem(
+        b"\x1f\x43\xb6\x75",
+        _ebml_elem(b"\xe7", struct.pack(">H", 0), w1)
+        + _ebml_elem(
+            b"\xa3", b"\x82" + struct.pack(">h", 0) + b"\x00" + audio_frame, w2
+        ),
+        w2,
+    )
+    segment = _ebml_elem(
+        b"\x18\x53\x80\x67", info + tracks + clusters + audio_cluster, w8
+    )
+    return ebml + segment
+
+
+def mkv_payload_for(doc_id: int) -> bytes:
+    return build_mkv(doc_id)
+
+
 def image_meta_for(doc_id: int) -> tuple[str, int, int]:
     """Closed-form (format, width, height) per doc_id — the synthesis
     parameters the decoder must recover, restated by the SQL oracle."""
@@ -945,6 +1110,27 @@ def materialize_mp4s(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "mp4s.parquet", build, cache_root)
+
+
+def materialize_mkvs(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) Matroska corpus (1-4 video frames each
+    as SimpleBlock/BlockGroup clusters, decoy audio track) for the
+    documents at ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [mkv_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "mkvs.parquet", build, cache_root)
 
 
 def materialize_jpegs(spark, sf_dir, cache_root=None) -> str:

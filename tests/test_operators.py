@@ -1436,13 +1436,99 @@ def test_mp4_frame_parse_structural_variants():
     assert mp4_frame_info(mdat + moov) == [(0, 16, 20), (1, 26, 20), (2, 36, 20)]
 
 
+def test_mkv_frame_parse_is_real():
+    """The mkv sampler must recover offsets/durations from the actual
+    EBML stream: builder roundtrip across frame counts 1-4, all three
+    TimestampScales and both block forms (SimpleBlock and
+    BlockGroup+BlockDuration), offsets that point at the planted frame
+    bytes, the decoy audio cluster skipped, and totality on garbage."""
+    from nreadability_spark.operators.multimodal import mkv_frame_info
+    from nreadability_spark.sources import synth
+
+    for d in (0, 1, 2, 3, 5, 7, 12):
+        b = synth.build_mkv(d)
+        got = mkv_frame_info(b)
+        n = synth.mkv_frame_count_for(d)
+        assert len(got) == n  # the audio cluster contributed nothing
+        for k in range(n):
+            off = synth.mkv_frame_offset_for(d, k)
+            sz = synth.mkv_frame_size_for(d, k)
+            assert got[k] == (k, off, synth.mkv_delay_cs_for(d, k))
+            assert b[off : off + sz] == bytes(
+                synth.mkv_frame_byte_for(d, k, j) for j in range(sz)
+            )
+    g = synth.build_mkv(9)
+    for junk in (b"", b"\x00" * 64, b"\x1a\x45\xdf\xa3", g[:30], g[:-2]):
+        assert mkv_frame_info(junk) == []
+
+
+def test_mkv_frame_parse_width_agnostic():
+    """Re-encoding every size varint minimally moves all the offsets;
+    the parser must follow the stream's widths, not the fixed-width
+    layout the oracle assumes — frame identity is proven by the bytes
+    at the reported offsets, not by the offset values."""
+    from nreadability_spark.operators.multimodal import mkv_frame_info
+    from nreadability_spark.sources import synth
+
+    for d in (0, 3, 5, 10):
+        b2 = synth.build_mkv(d, fixed_widths=False)
+        got = mkv_frame_info(b2)
+        n = synth.mkv_frame_count_for(d)
+        assert [(k, dl) for k, _, dl in got] == [
+            (k, synth.mkv_delay_cs_for(d, k)) for k in range(n)
+        ]
+        for k, off, _ in got:
+            sz = synth.mkv_frame_size_for(d, k)
+            assert b2[off : off + sz] == bytes(
+                synth.mkv_frame_byte_for(d, k, j) for j in range(sz)
+            )
+
+
+def test_mkv_frame_parse_structural_variants():
+    """A layout the doc-keyed builder never produces: unknown-size
+    Segment (streamed-file convention), no Info element (TimestampScale
+    falls back to the 1 ms/tick spec default), two SimpleBlocks sharing
+    ONE cluster with nonzero relative timestamps, and the last frame's
+    duration from DefaultDuration."""
+    from nreadability_spark.operators.multimodal import mkv_frame_info
+    from nreadability_spark.sources.synth import _ebml_elem
+    import struct
+
+    video = _ebml_elem(
+        b"\xae",
+        _ebml_elem(b"\xd7", b"\x03")  # track number 3
+        + _ebml_elem(b"\x83", b"\x01")
+        + _ebml_elem(b"\x23\xe3\x83", struct.pack(">I", 30_000_000)),  # 3 cs
+    )
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", video)
+    blk_a = _ebml_elem(b"\xa3", b"\x83" + struct.pack(">h", 0) + b"\x00" + b"AAAA")
+    blk_b = _ebml_elem(b"\xa3", b"\x83" + struct.pack(">h", 20) + b"\x00" + b"BB")
+    cluster = _ebml_elem(
+        b"\x1f\x43\xb6\x75",
+        _ebml_elem(b"\xe7", struct.pack(">H", 100)) + blk_a + blk_b,
+    )
+    seg_body = tracks + cluster
+    # unknown-size: 8-byte varint with all value bits set
+    data = b"\x18\x53\x80\x67" + bytes([0x01]) + b"\xff" * 7 + seg_body
+
+    got = mkv_frame_info(data)
+    # offsets: segment hdr 12; tracks len = 5 + len(video); cluster hdr
+    # 4+1; ts elem 1+1+2; block hdrs 1+1
+    tracks_len = len(tracks)
+    off_a = 12 + tracks_len + 5 + 4 + 2 + 4  # track vint + relts + flags
+    off_b = off_a + 4 + 2 + 4
+    # delays: (120-100) ticks at the default 1 ms/tick = 20 ms = 2 cs;
+    # last frame falls back to DefaultDuration = 3 cs
+    assert got == [(0, off_a, 2), (1, off_b, 3)]
+
+
 def test_frame_sampling_other_containers_gated(spark):
     from nreadability_spark.operators import multimodal
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    df = multimodal.sample_frames(payloads, container="mkv")
+    df = multimodal.sample_frames(payloads, container="avi")
     with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
         df.collect()
 
