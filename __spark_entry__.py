@@ -264,7 +264,7 @@ _CHECK_FIRST = (
     # round-5 additions — never driver-checked, so they follow the
     # stale-32 inside the 50-row cap
     "multimodal_frame_sample_mp4", "multimodal_image_pixels_jpeg",
-    "multimodal_frame_sample_mkv",
+    "multimodal_frame_sample_mkv", "multimodal_audio_samples_adpcm",
 )
 
 

@@ -259,14 +259,105 @@ def decode_pcm_samples(data: bytes) -> list[int] | None:
         return None
 
 
+# IMA/DVI ADPCM constants (public spec: IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", the table every implementation
+# shares)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_DELTA = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def decode_ima_adpcm_samples(data: bytes) -> list[int] | None:
+    """Decode mono IMA ADPCM (WAVE format tag 0x11) with stdlib only:
+    RIFF chunk walk for fmt (block_align, optional wSamplesPerBlock
+    extension) / fact / data, then per block the 4-byte IMA header
+    (int16 predictor = the block's first output sample, step index)
+    followed by 4-bit nibbles, low nibble first. Per nibble: diff =
+    step>>3 (+step>>2 / +step>>1 / +step per magnitude bit), sign bit
+    subtracts, predictor clamps to int16, index moves by the shared
+    index table and clamps to [0, 88]. A fact chunk caps the total
+    frames (trailing partial blocks). Returns None when the payload is
+    not mono 4-bit IMA ADPCM (stereo interleave and perceptual codecs
+    stay out of scope)."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        i, n = 12, len(data)
+        fmt = None
+        spb_ext = None
+        total_cap = None
+        pcm: bytes | None = None
+        while i + 8 <= n:
+            cid = data[i : i + 4]
+            size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body = data[i + 8 : i + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+                if len(body) >= 20:
+                    spb_ext = struct.unpack("<H", body[18:20])[0]
+            elif cid == b"fact" and len(body) >= 4:
+                total_cap = struct.unpack("<I", body[:4])[0]
+            elif cid == b"data":
+                pcm = body
+            i += 8 + size + (size & 1)
+        if fmt is None or pcm is None:
+            return None
+        tag, ch, _sr, _br, block_align, bits = fmt
+        if tag != 0x11 or ch != 1 or bits != 4 or block_align < 5:
+            return None
+        spb = spb_ext if spb_ext else 1 + 2 * (block_align - 4)
+        out: list[int] = []
+        for bs in range(0, len(pcm), block_align):
+            blk = pcm[bs : bs + block_align]
+            if len(blk) < 4:
+                break
+            pred = struct.unpack("<h", blk[:2])[0]
+            idx = blk[2]
+            if idx > 88:
+                return None
+            out.append(pred)
+            emitted = 1
+            for byte in blk[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    if emitted >= spb:
+                        break
+                    step = _IMA_STEPS[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _IMA_INDEX_DELTA[nib & 7]))
+                    out.append(pred)
+                    emitted += 1
+        if total_cap is not None:
+            out = out[:total_cap]
+        return out
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Amplitude statistics from ACTUAL decoded samples: uncompressed
-    16-bit PCM decodes for real with stdlib ``struct`` (one unpack per
-    payload, Arrow-batched). min/max and the integer sum / sum-of-
-    squares are exact longs — partition-order independent and oracle-
-    checkable in closed form against the planted waveform.
+    16-bit PCM decodes with stdlib ``struct`` (one unpack per payload,
+    Arrow-batched) and mono IMA ADPCM (format tag 0x11) decodes for
+    real through the table-based nibble expander. min/max and the
+    integer sum / sum-of-squares are exact longs — partition-order
+    independent and oracle-checkable in closed form against the
+    planted waveforms.
 
-    Compressed codecs (mp3/aac/opus — absent from this sandbox) raise
+    Perceptual codecs (mp3/aac/opus — absent from this sandbox) raise
     at the exact call site ``soundfile``/``av`` would run on a real
     cluster; the gated surface is now ONLY the genuinely impossible
     paths."""
@@ -277,12 +368,15 @@ def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                vals = decode_pcm_samples(bytes(payload))
+                raw = bytes(payload)
+                vals = decode_pcm_samples(raw)
+                if vals is None:
+                    vals = decode_ima_adpcm_samples(raw)
                 if vals is None:
                     raise NotImplementedError(
-                        "sample decode for non-PCM payloads requires codec "
+                        "sample decode for perceptual codecs requires "
                         "libraries not present in this sandbox; 16-bit PCM "
-                        "WAV decodes for real"
+                        "and mono IMA ADPCM WAV decode for real"
                     )
                 rows.append(
                     (
@@ -300,6 +394,65 @@ def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.select("doc_id", payload_col).mapInPandas(batches, schema=SAMPLES_SCHEMA)
+
+
+def multimodal_audio_samples_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-audio decode over the materialized IMA-ADPCM
+    corpus: the 4-bit nibble stream expands through the spec step
+    tables to int16 samples, reduced to exact amplitude statistics.
+    The planted corpus is all-zero nibbles, so the oracle is an
+    unrolled step-table join (per block: the prefix sum of
+    STEP[max(i0-t, 0)] >> 3 over the header predictor); the general
+    nibble/magnitude/sign/clamp paths are proven by the
+    independent-implementation roundtrip test, the same dual-proof
+    pattern as the JPEG AC path."""
+    from nreadability_spark.sources.synth import materialize_adpcm_wavs
+
+    payloads = spark.read.parquet(materialize_adpcm_wavs(spark, sf_dir))
+    return decode_samples(payloads).orderBy("doc_id")
+
+
+def multimodal_audio_samples_adpcm_sql() -> str:
+    steps = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEPS))
+    return f"""
+WITH steps(idx, st) AS (VALUES {steps}),
+base AS (
+  SELECT doc_id, 1 + doc_id % 2 AS n_blocks, 8 + (doc_id * 5) % 17 AS nb
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, nb, CAST(unnest(range(n_blocks)) AS INT) AS b FROM base
+),
+hdr AS (
+  SELECT doc_id, nb, b,
+         -(500 + (doc_id * 37 + b * 101) % 2000) AS p0,
+         (doc_id * 7 + b * 11) % 41 AS i0
+  FROM blocks
+),
+ticks AS (
+  SELECT doc_id, b, p0, i0, CAST(unnest(range(2 * nb)) AS INT) AS t FROM hdr
+),
+diffs AS (
+  SELECT ticks.doc_id, ticks.b, ticks.p0, ticks.t, steps.st // 8 AS d
+  FROM ticks JOIN steps ON steps.idx = GREATEST(ticks.i0 - ticks.t, 0)
+),
+samples AS (
+  SELECT doc_id, b, p0 AS v FROM hdr
+  UNION ALL
+  SELECT doc_id, b,
+         p0 + SUM(d) OVER (PARTITION BY doc_id, b ORDER BY t) AS v
+  FROM diffs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(v) AS BIGINT) AS min_amp,
+       CAST(MAX(v) AS BIGINT) AS max_amp,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM samples
+GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,6 +1810,7 @@ QUERIES = {
     "multimodal_decode_meta": multimodal_metadata,
     "multimodal_audio_meta": multimodal_audio,
     "multimodal_audio_samples": multimodal_audio_samples,
+    "multimodal_audio_samples_adpcm": multimodal_audio_samples_adpcm,
     "multimodal_frame_sample": multimodal_frames,
     "multimodal_frame_sample_mp4": multimodal_frames_mp4,
     "multimodal_frame_sample_mkv": multimodal_frames_mkv,
@@ -1669,6 +1823,7 @@ ORACLES = {
     "multimodal_decode_meta": multimodal_metadata_sql(),
     "multimodal_audio_meta": multimodal_audio_sql(),
     "multimodal_audio_samples": multimodal_audio_samples_sql(),
+    "multimodal_audio_samples_adpcm": multimodal_audio_samples_adpcm_sql(),
     "multimodal_frame_sample": multimodal_frames_sql(),
     "multimodal_frame_sample_mp4": multimodal_frames_mp4_sql(),
     "multimodal_frame_sample_mkv": multimodal_frames_mkv_sql(),

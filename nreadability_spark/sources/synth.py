@@ -436,6 +436,65 @@ def wav_payload_for(doc_id: int) -> bytes:
     return build_wav(*wav_meta_for(doc_id), seed=doc_id)
 
 
+# --- IMA ADPCM (WAVE format tag 0x11) compressed-audio corpus ------------
+#
+# Real spec-complete container: fmt chunk with the 2-byte extension
+# (wSamplesPerBlock), a fact chunk (total sample frames — customary
+# for compressed WAV), and a data chunk of fixed-size blocks, each
+# with the 4-byte IMA header (initial int16 predictor, step index,
+# reserved). The planted nibble stream is ALL ZEROS, which makes the
+# decode closed-form — per block, sample 0 is the header predictor and
+# sample t adds the prefix sum of STEP[max(i0 - u, 0)] >> 3 (nibble 0
+# contributes +step>>3 and moves the index by INDEX_TABLE[0] = -1) —
+# so the amplitude-statistics oracle is an unrolled step-table join in
+# SQL. The general decoder (any nibbles) is proven separately by the
+# independent-implementation roundtrip test, the same dual-proof
+# pattern as the JPEG AC path.
+
+ADPCM_HEADER_LEN = 60  # RIFF(12) + fmt(8+18+2) + fact(8+4) + data hdr(8)
+
+
+def adpcm_meta_for(doc_id: int) -> tuple[int, int, int, int]:
+    """Closed-form (sample_rate, n_blocks, nibble_bytes, spb): all
+    blocks in one file share block_align = 4 + nibble_bytes and
+    samples_per_block spb = 1 + 2 * nibble_bytes."""
+    nb = 8 + (doc_id * 5) % 17
+    return WAV_SAMPLE_RATES[doc_id % 4], 1 + doc_id % 2, nb, 1 + 2 * nb
+
+
+def adpcm_block_header_for(doc_id: int, b: int) -> tuple[int, int]:
+    """Closed-form (initial predictor, initial step index) per block.
+    Predictors are negative and indices <= 40 so the all-zero nibble
+    decode never reaches the int16 clamp (max drift is
+    sum(STEP[0..40]) >> 3, a few hundred)."""
+    p0 = -(500 + (doc_id * 37 + b * 101) % 2000)
+    i0 = (doc_id * 7 + b * 11) % 41
+    return p0, i0
+
+
+def build_adpcm_wav(doc_id: int) -> bytes:
+    sr, n_blocks, nb, spb = adpcm_meta_for(doc_id)
+    block_align = 4 + nb
+    blocks = b""
+    for b in range(n_blocks):
+        p0, i0 = adpcm_block_header_for(doc_id, b)
+        blocks += struct.pack("<hBB", p0, i0, 0) + bytes(nb)
+    fmt_body = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sr, (sr * block_align) // spb, block_align, 4, 2, spb,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", 18 + 2) + fmt_body
+        + b"fact" + struct.pack("<II", 4, n_blocks * spb)
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def adpcm_payload_for(doc_id: int) -> bytes:
+    return build_adpcm_wav(doc_id)
+
+
 # --- fully-decodable baseline JPEG corpus (grayscale) --------------------
 #
 # Real ITU T.81 baseline-sequential encoding: canonical huffman codes
@@ -1110,6 +1169,26 @@ def materialize_mp4s(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "mp4s.parquet", build, cache_root)
+
+
+def materialize_adpcm_wavs(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) IMA-ADPCM WAV corpus for the documents
+    at ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [adpcm_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "adpcm.parquet", build, cache_root)
 
 
 def materialize_mkvs(spark, sf_dir, cache_root=None) -> str:

@@ -185,8 +185,9 @@ def test_residual_pq_strictly_improves_reconstruction(spark):
 
 
 def test_multimodal_sample_decode_is_gated(spark):
-    """PCM decodes for real; NON-PCM payloads stay gated at the exact
-    call site a real cluster would run the media libraries."""
+    """PCM and IMA ADPCM decode for real; perceptual-codec payloads
+    stay gated at the exact call site a real cluster would run the
+    media libraries."""
     from nreadability_spark.operators import multimodal
     from pyspark.sql import functions as F
 
@@ -209,6 +210,109 @@ def test_multimodal_pcm_decode_is_real():
     assert decode_pcm_samples(payload) == want
     assert decode_pcm_samples(b"ID3\x04compressed mp3 frame") is None
     assert decode_pcm_samples(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_adpcm_decode_planted_corpus_closed_form():
+    """The IMA ADPCM decoder must recover the exact sample sequence
+    the all-zero-nibble corpus plants — per block, the header
+    predictor followed by prefix sums of STEP[max(i0-t, 0)] >> 3 —
+    which is what the SQL oracle restates with an unrolled step
+    table."""
+    from nreadability_spark.operators.multimodal import (
+        _IMA_STEPS,
+        decode_ima_adpcm_samples,
+    )
+    from nreadability_spark.sources import synth
+
+    for d in range(12):
+        _sr, n_blocks, nb, _spb = synth.adpcm_meta_for(d)
+        want = []
+        for b in range(n_blocks):
+            p0, i0 = synth.adpcm_block_header_for(d, b)
+            want.append(p0)
+            pred, idx = p0, i0
+            for _ in range(2 * nb):
+                pred += _IMA_STEPS[idx] >> 3
+                idx = max(0, idx - 1)
+                want.append(pred)
+        assert decode_ima_adpcm_samples(synth.build_adpcm_wav(d)) == want
+    assert decode_ima_adpcm_samples(b"ID3\x04mp3 frame") is None
+    assert decode_ima_adpcm_samples(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_adpcm_decode_vs_independent_implementation():
+    """General nibbles (magnitude bits, sign bit, both index clamps,
+    the int16 predictor clamp): the operator decoder must agree with
+    an independent decoder written directly from the IMA spec
+    pseudocode — the same dual-proof pattern as the JPEG independent
+    IDCT. Nibble streams are deterministic pseudo-random plus planted
+    extremes that force every clamp."""
+    import struct
+
+    from nreadability_spark.operators.multimodal import (
+        _IMA_STEPS,
+        decode_ima_adpcm_samples,
+    )
+
+    index_tab = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+    def reference_decode(pred, idx, nibbles):
+        # straight from the IMA recommended-practices pseudocode:
+        # reconstruct via (2*magnitude+1) * step / 8 computed with
+        # shifts, which is the same arithmetic expressed differently
+        out = [pred]
+        for nib in nibbles:
+            step = _IMA_STEPS[idx]
+            delta = nib & 7
+            vpdiff = step >> 3
+            if delta & 4:
+                vpdiff += step
+            if delta & 2:
+                vpdiff += step >> 1
+            if delta & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if nib & 8 else pred + vpdiff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + index_tab[delta]))
+            out.append(pred)
+        return out
+
+    def wav_for(blocks, nb):
+        body = b""
+        for pred, idx, nibbles in blocks:
+            packed = bytes(
+                (nibbles[2 * j] & 0x0F) | ((nibbles[2 * j + 1] & 0x0F) << 4)
+                for j in range(nb)
+            )
+            body += struct.pack("<hBB", pred, idx, 0) + packed
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, 8000, 4000, 4 + nb, 4, 2, 1 + 2 * nb
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", 20) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    nb = 24
+    # deterministic pseudo-random nibbles, plus extremes: all-max
+    # positive from a high index (hits the +32767 clamp and the index
+    # floor), all-max negative from a low index (hits -32768 and the
+    # index ceiling)
+    rnd = [((k * 2654435761) >> 7) & 0x0F for k in range(2 * nb)]
+    blocks = [
+        (-300, 17, rnd),
+        (30000, 80, [7] * (2 * nb)),
+        (-30000, 2, [15] * (2 * nb)),
+        (0, 88, [(k * 11 + 3) & 0x0F for k in range(2 * nb)]),
+    ]
+    got = decode_ima_adpcm_samples(wav_for(blocks, nb))
+    want = []
+    for pred, idx, nibbles in blocks:
+        want.extend(reference_decode(pred, idx, nibbles))
+    assert got == want
+    # sanity: the extremes really exercised the clamps
+    assert max(want) == 32767 and min(want) == -32768
 
 
 def test_image_header_decode_is_real():
