@@ -270,3 +270,109 @@ def test_png_roundtrip_random_bitmaps(w, h, seed):
     )
     dw, dh, rows = decode_png_rgb8(data)
     assert (dw, dh) == (w, h) and rows == lines
+
+
+# --- mp4 / mkv container walks + ADPCM decode (round 5) ------------------
+
+_media_junk = st.one_of(
+    st.binary(max_size=200),
+    st.binary(max_size=150).map(lambda b: b"\x1a\x45\xdf\xa3" + b),  # EBML magic
+    st.binary(max_size=150).map(
+        lambda b: b"\x18\x53\x80\x67\x01" + b"\xff" * 7 + b  # unknown-size Segment
+    ),
+    st.binary(max_size=150).map(lambda b: b"\x00\x00\x00\x14ftypisom" + b),
+    st.binary(max_size=150).map(lambda b: b"RIFF\x00\x01\x00\x00WAVE" + b),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_media_junk)
+def test_media_parsers_are_total(data):
+    """The container walks and the ADPCM decoder must never raise on
+    hostile bytes — malformed varints, lying sizes, truncated headers
+    all return []/None, deterministically."""
+    from nreadability_spark.operators.multimodal import (
+        decode_ima_adpcm_samples,
+        mkv_frame_info,
+        mp4_frame_info,
+    )
+
+    for fn in (mkv_frame_info, mp4_frame_info, decode_ima_adpcm_samples):
+        r1 = fn(data)
+        r2 = fn(data)
+        assert r1 == r2
+        assert r1 is None or isinstance(r1, list)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=0, max_value=400),
+)
+def test_mkv_truncation_never_raises(doc_id, cut):
+    """Every truncation of a valid mkv parses to a (possibly empty)
+    list — the walk stops at the first malformed header instead of
+    reading past the buffer."""
+    from nreadability_spark.operators.multimodal import mkv_frame_info
+    from nreadability_spark.sources.synth import build_mkv
+
+    b = build_mkv(doc_id)
+    got = mkv_frame_info(b[: min(cut, len(b))])
+    assert isinstance(got, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_adpcm_random_nibbles_roundtrip(seed):
+    """Random nibble streams through arbitrary start states decode
+    identically to the spec-pseudocode reference — the fuzz companion
+    to the planted-extremes unit test."""
+    import struct
+
+    from nreadability_spark.operators.multimodal import (
+        _IMA_STEPS,
+        decode_ima_adpcm_samples,
+    )
+
+    rnd = __import__("random").Random(seed)
+    nb = rnd.randrange(1, 32)
+    blocks = [
+        (
+            rnd.randrange(-32768, 32768),
+            rnd.randrange(89),
+            [rnd.randrange(16) for _ in range(2 * nb)],
+        )
+        for _ in range(rnd.randrange(1, 4))
+    ]
+    body = b""
+    for pred, idx, nibbles in blocks:
+        packed = bytes(
+            (nibbles[2 * j] & 0x0F) | ((nibbles[2 * j + 1] & 0x0F) << 4)
+            for j in range(nb)
+        )
+        body += struct.pack("<hBB", pred, idx, 0) + packed
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 4 + nb, 4, 2, 1 + 2 * nb)
+    chunks = (
+        b"fmt " + struct.pack("<I", 20) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    index_tab = (-1, -1, -1, -1, 2, 4, 6, 8)
+    want = []
+    for pred, idx, nibbles in blocks:
+        want.append(pred)
+        for nib in nibbles:
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + index_tab[nib & 7]))
+            want.append(pred)
+    assert decode_ima_adpcm_samples(wav) == want
