@@ -348,6 +348,62 @@ def decode_ima_adpcm_samples(data: bytes) -> list[int] | None:
         return None
 
 
+# ITU-T G.711 companding (public spec): decode is a pure per-byte
+# table lookup, built once from the reference formulas
+
+
+def _ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    sample = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    sample -= 0x84
+    return -sample if u & 0x80 else sample
+
+
+def _alaw_to_linear(a: int) -> int:
+    a ^= 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_TABLE = tuple(_ulaw_to_linear(b) for b in range(256))
+_ALAW_TABLE = tuple(_alaw_to_linear(b) for b in range(256))
+
+
+def decode_g711_samples(data: bytes) -> list[int] | None:
+    """Decode G.711 companded WAV payloads (format tag 7 = mu-law,
+    6 = A-law, 8 bits/sample, one byte per sample) through the
+    256-entry decode tables built from the ITU-T formulas. Returns
+    None for anything else."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        i, n = 12, len(data)
+        tag = bits = None
+        raw: bytes | None = None
+        while i + 8 <= n:
+            cid = data[i : i + 4]
+            size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body = data[i + 8 : i + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                tag, _ch, _sr, _br, _block, bits = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                raw = body
+            i += 8 + size + (size & 1)
+        if tag not in (6, 7) or bits != 8 or raw is None:
+            return None
+        table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+        return [table[b] for b in raw]
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Amplitude statistics from ACTUAL decoded samples: uncompressed
     16-bit PCM decodes with stdlib ``struct`` (one unpack per payload,
@@ -373,10 +429,13 @@ def decode_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 if vals is None:
                     vals = decode_ima_adpcm_samples(raw)
                 if vals is None:
+                    vals = decode_g711_samples(raw)
+                if vals is None:
                     raise NotImplementedError(
                         "sample decode for perceptual codecs requires "
-                        "libraries not present in this sandbox; 16-bit PCM "
-                        "and mono IMA ADPCM WAV decode for real"
+                        "libraries not present in this sandbox; 16-bit PCM, "
+                        "mono IMA ADPCM and G.711 mu-law/A-law WAV decode "
+                        "for real"
                     )
                 rows.append(
                     (
@@ -450,6 +509,54 @@ SELECT doc_id,
        CAST(SUM(v) AS BIGINT) AS sum_amp,
        CAST(SUM(v * v) AS BIGINT) AS sum_sq
 FROM samples
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def multimodal_audio_samples_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real G.711 decode over the materialized companded corpus (even
+    docs mu-law, odd docs A-law): every byte expands through the
+    ITU-T decode tables to an int16 sample, reduced to exact amplitude
+    statistics. The oracle joins the planted byte formula against the
+    full 512-entry (law, byte) decode table unrolled as a VALUES CTE —
+    one wrong table entry in either law hash-mismatches; the tables
+    themselves are pinned to an independent implementation
+    (``audioop``) by a unit test."""
+    from nreadability_spark.sources.synth import materialize_g711_wavs
+
+    payloads = spark.read.parquet(materialize_g711_wavs(spark, sf_dir))
+    return decode_samples(payloads).orderBy("doc_id")
+
+
+def multimodal_audio_samples_g711_sql() -> str:
+    rows = ", ".join(
+        f"(7, {b}, {v})" for b, v in enumerate(_ULAW_TABLE)
+    ) + ", " + ", ".join(f"(6, {b}, {v})" for b, v in enumerate(_ALAW_TABLE))
+    return f"""
+WITH tab(tag, b, v) AS (VALUES {rows}),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS tag,
+         80 + (doc_id * 9) % 160 AS n_bytes
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, tag, CAST(unnest(range(n_bytes)) AS INT) AS j FROM base
+),
+vals AS (
+  SELECT positions.doc_id, tab.v
+  FROM positions
+  JOIN tab ON tab.tag = positions.tag
+          AND tab.b = (positions.doc_id * 13 + positions.j * 7) % 256
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(v) AS BIGINT) AS min_amp,
+       CAST(MAX(v) AS BIGINT) AS max_amp,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM vals
 GROUP BY doc_id
 ORDER BY doc_id
 """
@@ -1811,6 +1918,7 @@ QUERIES = {
     "multimodal_audio_meta": multimodal_audio,
     "multimodal_audio_samples": multimodal_audio_samples,
     "multimodal_audio_samples_adpcm": multimodal_audio_samples_adpcm,
+    "multimodal_audio_samples_g711": multimodal_audio_samples_g711,
     "multimodal_frame_sample": multimodal_frames,
     "multimodal_frame_sample_mp4": multimodal_frames_mp4,
     "multimodal_frame_sample_mkv": multimodal_frames_mkv,
@@ -1824,6 +1932,7 @@ ORACLES = {
     "multimodal_audio_meta": multimodal_audio_sql(),
     "multimodal_audio_samples": multimodal_audio_samples_sql(),
     "multimodal_audio_samples_adpcm": multimodal_audio_samples_adpcm_sql(),
+    "multimodal_audio_samples_g711": multimodal_audio_samples_g711_sql(),
     "multimodal_frame_sample": multimodal_frames_sql(),
     "multimodal_frame_sample_mp4": multimodal_frames_mp4_sql(),
     "multimodal_frame_sample_mkv": multimodal_frames_mkv_sql(),

@@ -495,6 +495,37 @@ def adpcm_payload_for(doc_id: int) -> bytes:
     return build_adpcm_wav(doc_id)
 
 
+# --- G.711 mu-law / A-law (WAVE format tags 7 / 6) corpus ----------------
+#
+# One byte per sample; decode is a pure 256-entry table lookup (ITU-T
+# G.711 companding), so the corpus plants the encoded BYTES in closed
+# form and the oracle joins them against the unrolled decode table.
+
+
+def g711_meta_for(doc_id: int) -> tuple[int, int]:
+    """(format tag, n_bytes): even docs mu-law (7), odd docs A-law (6)."""
+    return (7 if doc_id % 2 == 0 else 6), 80 + (doc_id * 9) % 160
+
+
+def g711_byte_for(doc_id: int, j: int) -> int:
+    return (doc_id * 13 + j * 7) % 256
+
+
+def build_g711_wav(doc_id: int) -> bytes:
+    tag, n_bytes = g711_meta_for(doc_id)
+    data = bytes(g711_byte_for(doc_id, j) for j in range(n_bytes))
+    fmt_body = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def g711_payload_for(doc_id: int) -> bytes:
+    return build_g711_wav(doc_id)
+
+
 # --- fully-decodable baseline JPEG corpus (grayscale) --------------------
 #
 # Real ITU T.81 baseline-sequential encoding: canonical huffman codes
@@ -1189,6 +1220,26 @@ def materialize_adpcm_wavs(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "adpcm.parquet", build, cache_root)
+
+
+def materialize_g711_wavs(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) G.711 mu-law/A-law WAV corpus for the
+    documents at ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [g711_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "g711.parquet", build, cache_root)
 
 
 def materialize_mkvs(spark, sf_dir, cache_root=None) -> str:

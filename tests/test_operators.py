@@ -315,6 +315,43 @@ def test_adpcm_decode_vs_independent_implementation():
     assert max(want) == 32767 and min(want) == -32768
 
 
+def test_g711_tables_match_independent_implementation():
+    """Both G.711 decode tables must match an independent reference
+    implementation (stdlib ``audioop``, present through Python 3.12)
+    on all 256 bytes of each law, and the decoder must recover the
+    planted corpus bytes through the right law per document."""
+    import struct
+
+    from nreadability_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_g711_samples,
+    )
+    from nreadability_spark.sources import synth
+
+    audioop = pytest.importorskip("audioop")
+
+    def ref(fn, b):
+        return struct.unpack("<h", fn(bytes([b]), 2))[0]
+
+    assert [_ULAW_TABLE[b] for b in range(256)] == [
+        ref(audioop.ulaw2lin, b) for b in range(256)
+    ]
+    assert [_ALAW_TABLE[b] for b in range(256)] == [
+        ref(audioop.alaw2lin, b) for b in range(256)
+    ]
+
+    for d in range(8):
+        tag, n = synth.g711_meta_for(d)
+        table = _ULAW_TABLE if tag == 7 else _ALAW_TABLE
+        assert decode_g711_samples(synth.build_g711_wav(d)) == [
+            table[synth.g711_byte_for(d, j)] for j in range(n)
+        ]
+    assert decode_g711_samples(b"ID3\x04mp3 frame") is None
+    # PCM (tag 1) payloads are not G.711's to decode
+    assert decode_g711_samples(synth.build_wav(8000, 1, 4, seed=1)) is None
+
+
 def test_image_header_decode_is_real():
     """The decoder must parse dimensions from actual bytes — including
     payloads with parameters the synthesis formula never produces — and
