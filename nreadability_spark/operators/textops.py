@@ -2141,8 +2141,109 @@ ORDER BY s.doc_id
 """
 
 
+SFT_ROLES = ("user", "assistant", "tool")
+SFT_END = "<|end|>"
+
+
+def sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering with loss-mask span offsets — the step
+    that turns an ordered conversation into a supervised-finetuning
+    example: each turn renders as ``<|role|>`` + text + ``<|end|>``,
+    the example is the concatenation in stable turn order, and the
+    loss mask trains only on assistant PAYLOAD characters (headers,
+    end markers and non-assistant turns masked out). The events table
+    stands in as conversations (conv = user_id, stable order =
+    (ts, event_id), role planted by event_id % 3, text =
+    event_type ':' props); emits one row per assistant turn with its
+    absolute [span_start, span_end) character offsets in the rendered
+    example plus the example's total length — the (offsets, text)
+    contract downstream packing/tokenization consumes.
+
+    Scale shape: built-ins only — one shuffle on the conversation key
+    feeds both window passes (running start via an UNBOUNDED
+    PRECEDING..1 PRECEDING frame, total length via the partition
+    frame), no UDF, no collect. A conversation that outgrows a single
+    window task takes the same two-phase blocked-offsets escape hatch
+    the extraction job measures in bench/SKEW.md section C."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in SFT_ROLES]),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    text = F.concat(
+        F.col("event_type"), F.lit(":"), F.coalesce(F.col("props"), F.lit(""))
+    )
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_id"),
+        "ts",
+        role.alias("role"),
+        (F.length(role) + F.lit(4)).alias("header_len"),  # <| |>
+        F.length(text).alias("text_len"),
+    ).withColumn(
+        "turn_len", F.col("header_len") + F.col("text_len") + F.lit(len(SFT_END))
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_id")
+    return (
+        turns.withColumn(
+            "start",
+            F.coalesce(
+                F.sum("turn_len").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("conv_len", F.sum("turn_len").over(Window.partitionBy("conv_id")))
+        .where(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_id",
+            (F.col("start") + F.col("header_len")).cast("long").alias("span_start"),
+            (F.col("start") + F.col("header_len") + F.col("text_len"))
+            .cast("long")
+            .alias("span_end"),
+            F.col("conv_len").cast("long").alias("conv_len"),
+        )
+        .orderBy("conv_id", "turn_id")
+    )
+
+
+def sft_spans_sql() -> str:
+    end_len = len(SFT_END)
+    return f"""
+WITH turns AS (
+  SELECT user_id AS conv_id, event_id AS turn_id, ts,
+         ['user','assistant','tool'][CAST(event_id % 3 AS INT) + 1] AS role,
+         4 + length(['user','assistant','tool'][CAST(event_id % 3 AS INT) + 1])
+           AS header_len,
+         length(event_type || ':' || COALESCE(props, '')) AS text_len
+  FROM events
+),
+sized AS (
+  SELECT *, header_len + text_len + {end_len} AS turn_len FROM turns
+),
+offs AS (
+  SELECT conv_id, turn_id, role, header_len, text_len,
+         COALESCE(SUM(turn_len) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start,
+         SUM(turn_len) OVER (PARTITION BY conv_id) AS conv_len
+  FROM sized
+)
+SELECT conv_id, turn_id,
+       CAST(start + header_len AS BIGINT) AS span_start,
+       CAST(start + header_len + text_len AS BIGINT) AS span_end,
+       CAST(conv_len AS BIGINT) AS conv_len
+FROM offs
+WHERE role = 'assistant'
+ORDER BY conv_id, turn_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
+    "text_sft_spans": sft_spans,
     "text_quality_scores": quality_scores,
     "text_lang_id": lang_id,
     "text_fingerprints": fingerprints,
@@ -2168,6 +2269,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TOKEN_STATS_SQL,
+    "text_sft_spans": sft_spans_sql(),
     "text_quality_scores": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,

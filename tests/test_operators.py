@@ -315,6 +315,40 @@ def test_adpcm_decode_vs_independent_implementation():
     assert max(want) == 32767 and min(want) == -32768
 
 
+def test_sft_spans_slice_the_rendered_conversation(spark):
+    """The emitted [span_start, span_end) offsets must actually index
+    the assistant PAYLOAD inside the rendered example — verified by
+    re-rendering each conversation independently in plain Python
+    (sorted turns, '<|role|>' + text + '<|end|>' concatenation) and
+    slicing: every span recovers exactly its turn's text, never a
+    header or end marker."""
+    import duckdb
+
+    from nreadability_spark.operators.textops import SFT_END, SFT_ROLES, sft_spans
+
+    rows = sft_spans(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, ts, event_type, COALESCE(props, '') "
+        f"FROM '{SF_DIR}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    rendered: dict[int, str] = {}
+    payload: dict[tuple[int, int], str] = {}
+    for user_id, event_id, _ts, etype, props in ev:
+        role = SFT_ROLES[event_id % 3]
+        text = f"{etype}:{props}"
+        payload[(user_id, event_id)] = text
+        rendered[user_id] = rendered.get(user_id, "") + f"<|{role}|>{text}{SFT_END}"
+    for r in rows:
+        conv = rendered[r.conv_id]
+        assert len(conv) == r.conv_len
+        assert conv[r.span_start : r.span_end] == payload[(r.conv_id, r.turn_id)]
+        # the span boundaries sit exactly between the markers
+        assert conv[r.span_start - 2 : r.span_start] == "|>"
+        assert conv[r.span_end : r.span_end + len(SFT_END)] == SFT_END
+
+
 def test_g711_tables_match_independent_implementation():
     """Both G.711 decode tables must match an independent reference
     implementation (stdlib ``audioop``, present through Python 3.12)
