@@ -579,3 +579,87 @@ def test_dsir_stream_scoring_equals_batch(spark, tmp_path):
     want = {r["doc_id"]: (r["n_ngrams"], r["dsir_micro"])
             for r in dsir_score_frame(docs, persisted).collect()}
     assert got == want and len(got) == len(want) > 0
+
+
+def test_stream_sft_spans_equals_batch(spark, tmp_path):
+    """Loss-mask spans computed with applyInPandasWithState over a
+    stream (every conversation split across two micro-batches at a
+    global ts cutoff — the running render offset must carry across
+    the batch boundary) must equal the batch operator's spans."""
+    from nreadability_spark.operators.textops import sft_spans
+    from nreadability_spark.streaming.sft_stream import (
+        EVENTS_SCHEMA,
+        stream_sft_spans,
+    )
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # split every conversation at its own midpoint in (ts, event_id)
+    # order: per conversation every file-1 row precedes every file-2
+    # row — the monotone-arrival contract
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    src = str(tmp_path / "events_feed")
+    ranked.where("rn * 2 <= n").drop("rn", "n").coalesce(1).write.parquet(src)
+    ranked.where("rn * 2 > n").drop("rn", "n").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_sft_spans(stream)
+        .writeStream.format("memory")
+        .queryName("sft_spans_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["turn_id"]): (r["span_start"], r["span_end"])
+        for r in spark.sql("select * from sft_spans_stream").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_id"]): (r["span_start"], r["span_end"])
+        for r in sft_spans(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sft_fn_state_carries_across_batches():
+    """Unit check of the state machine without Spark: feeding a
+    conversation's turns in two calls must yield the same spans as one
+    call — the second call's offsets start from the carried total."""
+    import pandas as pd
+
+    from nreadability_spark.streaming.sft_stream import _sft_fn
+
+    def rows(ids):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime([1_000_000 * i for i in ids]),
+                "user_id": 7,
+                "event_type": [f"t{i}" for i in ids],
+                "props": [None if i % 2 else f"p{i}" for i in ids],
+            }
+        )
+
+    one = _FakeState()
+    full = pd.concat(list(_sft_fn((7,), iter([rows([0, 1, 2, 3, 4])]), one)))
+    two = _FakeState()
+    a = pd.concat(list(_sft_fn((7,), iter([rows([0, 1, 2])]), two)))
+    b = pd.concat(list(_sft_fn((7,), iter([rows([3, 4])]), two)))
+    split = pd.concat([a, b], ignore_index=True)
+    assert full.reset_index(drop=True).equals(split)
+    assert one.get == two.get  # same final running total
