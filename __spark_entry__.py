@@ -265,7 +265,7 @@ _CHECK_FIRST = (
     # stale-32 inside the 50-row cap
     "multimodal_frame_sample_mp4", "multimodal_image_pixels_jpeg",
     "multimodal_frame_sample_mkv", "multimodal_audio_samples_adpcm",
-    "multimodal_audio_samples_g711", "text_sft_spans",
+    "multimodal_audio_samples_g711", "text_sft_spans", "pipeline_sft_packed",
 )
 
 

@@ -317,13 +317,131 @@ ORDER BY r.cell, r.rank
 """
 
 
+SFT_PACK_BUDGET = 4096  # rendered characters per training sequence
+SFT_PACK_BLOCK = 1024  # conversations per prefix-sum block
+
+
+def sft_packed(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SFT_PACK_BUDGET,
+    block_size: int = SFT_PACK_BLOCK,
+) -> DataFrame:
+    """The end-to-end SFT layout path as ONE lazy plan: conversations
+    render to chat-template examples (the `text_sft_spans` arithmetic)
+    and the examples lay head-to-tail into fixed-budget training
+    sequences (the `text_sequence_packing` layout rule) — what a
+    pretokenization writer runs over a transcript corpus. Emits per
+    conversation its rendered example length, global offset, starting
+    pack, offset within that pack, and packs spanned.
+
+    Scale shape: one hash agg to conversation granularity (map-side
+    partials), then the same TWO-PHASE global prefix sum as
+    ``sequence_packing`` — per-block partial sums, an exclusive window
+    over n_convs/block_size block rows, a within-block window bounded
+    at ``block_size`` rows — never a single corpus-wide window task.
+    Integer `div` throughout: global offsets exceed 2^53 at the
+    10^12-turn scale this layout exists for."""
+    from nreadability_spark.operators.textops import SFT_END, SFT_ROLES
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in SFT_ROLES]),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    turn_len = (
+        F.length(role)
+        + F.lit(4)
+        + F.length(
+            F.concat(F.col("event_type"), F.lit(":"), F.coalesce(F.col("props"), F.lit("")))
+        )
+        + F.lit(len(SFT_END))
+    )
+    conv = (
+        ev.select(F.col("user_id").alias("conv_id"), turn_len.alias("turn_len"))
+        .groupBy("conv_id")
+        .agg(F.sum("turn_len").cast("long").alias("example_len"))
+        .withColumn("_blk", F.expr(f"conv_id div {block_size}"))
+    )
+    blk_sums = conv.groupBy("_blk").agg(F.sum("example_len").alias("_blk_chars"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_prefix = blk_sums.select(
+        "_blk", F.coalesce(F.sum("_blk_chars").over(w_blk), F.lit(0)).alias("_blk_prefix")
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        conv.join(blk_prefix, "_blk")
+        .withColumn(
+            "offset_global",
+            (
+                F.col("_blk_prefix")
+                + F.coalesce(F.sum("example_len").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .select(
+            "conv_id",
+            "example_len",
+            "offset_global",
+            F.expr(f"offset_global div {budget}").alias("pack_id"),
+            (F.col("offset_global") % F.lit(budget)).cast("long").alias("pack_offset"),
+            (
+                F.expr(f"(offset_global + example_len - 1) div {budget}")
+                - F.expr(f"offset_global div {budget}")
+                + 1
+            )
+            .cast("long")
+            .alias("n_packs_spanned"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def sft_packed_sql(budget: int = SFT_PACK_BUDGET) -> str:
+    from nreadability_spark.operators.textops import SFT_END
+
+    end_len = len(SFT_END)
+    return f"""
+WITH conv AS (
+  SELECT user_id AS conv_id,
+         CAST(SUM(
+           4 + length(['user','assistant','tool'][CAST(event_id % 3 AS INT) + 1])
+             + length(event_type || ':' || COALESCE(props, ''))
+             + {end_len}
+         ) AS BIGINT) AS example_len
+  FROM events
+  GROUP BY user_id
+),
+pre AS (
+  SELECT conv_id, example_len,
+         CAST(coalesce(sum(example_len) OVER (ORDER BY conv_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS offset_global
+  FROM conv
+)
+SELECT conv_id, example_len, offset_global,
+       offset_global // {budget} AS pack_id,
+       CAST(offset_global % {budget} AS BIGINT) AS pack_offset,
+       CAST((offset_global + example_len - 1) // {budget}
+            - offset_global // {budget} + 1 AS BIGINT) AS n_packs_spanned
+FROM pre
+ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": clean_corpus,
     "pipeline_training_ready": training_ready,
     "pipeline_cluster_topics": cluster_topics,
+    "pipeline_sft_packed": sft_packed,
 }
 ORACLES = {
     "pipeline_clean_corpus": clean_corpus_sql(),
     "pipeline_training_ready": training_ready_sql(),
     "pipeline_cluster_topics": cluster_topics_sql(),
+    "pipeline_sft_packed": sft_packed_sql(),
 }

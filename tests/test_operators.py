@@ -1812,6 +1812,46 @@ def test_sequence_packing_offsets_and_spans(spark, tmp_path):
     assert rows[3]["n_packs_spanned"] == 2
 
 
+def test_sft_packed_layout_is_sequential_and_consistent(spark):
+    """The composed SFT layout (render arithmetic -> two-phase global
+    prefix sum) must be a gapless sequential layout: offsets are the
+    running sum of example lengths in conv_id order, pack arithmetic
+    is consistent, and each example length equals the rendered
+    conversation's actual character count (cross-checked against the
+    sft_spans rendering invariant's ground truth)."""
+    import duckdb
+
+    from nreadability_spark.operators.textops import SFT_END, SFT_ROLES
+    from nreadability_spark.plans.pipeline import sft_packed
+
+    rows = sorted(
+        sft_packed(spark, SF_DIR, budget=512, block_size=16).collect(),
+        key=lambda r: r["conv_id"],
+    )
+    assert rows
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_id, event_type, COALESCE(props, '') "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    true_len: dict[int, int] = {}
+    for user_id, event_id, etype, props in ev:
+        role = SFT_ROLES[event_id % 3]
+        true_len[user_id] = true_len.get(user_id, 0) + len(
+            f"<|{role}|>{etype}:{props}{SFT_END}"
+        )
+    cum = 0
+    for r in rows:
+        assert r["example_len"] == true_len[r["conv_id"]]
+        assert r["offset_global"] == cum
+        assert r["pack_id"] == cum // 512 and r["pack_offset"] == cum % 512
+        assert (
+            r["n_packs_spanned"]
+            == (cum + r["example_len"] - 1) // 512 - cum // 512 + 1
+        )
+        cum += r["example_len"]
+
+
 # --- unigram LM scoring / source mixture / line dedup (round 3+) -------
 
 def _write_src_docs(spark, path, rows):
