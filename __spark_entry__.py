@@ -266,6 +266,7 @@ _CHECK_FIRST = (
     "multimodal_frame_sample_mp4", "multimodal_image_pixels_jpeg",
     "multimodal_frame_sample_mkv", "multimodal_audio_samples_adpcm",
     "multimodal_audio_samples_g711", "text_sft_spans", "pipeline_sft_packed",
+    "multimodal_mp3_frames",
 )
 
 

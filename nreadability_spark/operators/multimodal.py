@@ -842,6 +842,136 @@ def mp4_frame_info(data: bytes) -> list[tuple[int, int, int]]:
         return []
 
 
+# --- mp3 frame-sync walk ------------------------------------------------
+
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_MAX_FRAMES = 1 << 20
+
+
+def mp3_frame_info(data: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Real mp3 frame walk (ISO/IEC 11172-3 header layout, stdlib
+    only): skip an ID3v2 tag by its syncsafe size, then iterate
+    MPEG-1 Layer III frame headers — sync check, bitrate index,
+    samplerate index, padding bit — computing each frame's byte span
+    from the spec length 144*bitrate/samplerate + padding. Emits
+    (frame_idx, header byte_offset, frame_bytes, bitrate_kbps,
+    duration_us) with duration 1152 samples / samplerate — the seek
+    table a streaming player or an audio-chunking stage consumes; the
+    huffman-coded payload is the gated perceptual path. Stops at the
+    first non-sync byte (trailing junk tolerated as end-of-stream);
+    returns [] for anything headerless or malformed."""
+    try:
+        i, n = 0, len(data)
+        if data[:3] == b"ID3" and n >= 10:
+            tag = (
+                ((data[6] & 0x7F) << 21)
+                | ((data[7] & 0x7F) << 14)
+                | ((data[8] & 0x7F) << 7)
+                | (data[9] & 0x7F)
+            )
+            i = 10 + tag
+        out: list[tuple[int, int, int, int, int]] = []
+        k = 0
+        while i + 4 <= n:
+            b0, b1, b2 = data[i], data[i + 1], data[i + 2]
+            # sync + MPEG-1 (version bits 11) + Layer III (bits 01)
+            if b0 != 0xFF or (b1 & 0xFE) != 0xFA:
+                break
+            b_idx = (b2 >> 4) & 0x0F
+            sr_idx = (b2 >> 2) & 0x03
+            pad = (b2 >> 1) & 0x01
+            if b_idx in (0, 15) or sr_idx == 3:
+                break  # free-form / invalid — not walkable by length
+            kbps = _MP3_BITRATES[b_idx]
+            sr = _MP3_RATES[sr_idx]
+            flen = 144_000 * kbps // sr + pad
+            if flen < 4 or i + flen > n or len(out) >= _MP3_MAX_FRAMES:
+                break
+            out.append((k, i, flen, kbps, 1152 * 1_000_000 // sr))
+            i += flen
+            k += 1
+        return out
+    except IndexError:
+        return []
+
+
+MP3_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("bitrate_kbps", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+
+def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mp3 frame walk over the materialized frame-stream corpus
+    (per-frame bitrate indices, per-doc samplerates, alternating
+    padding bits, an ID3v2 tag to skip). The oracle restates the spec
+    frame-length arithmetic and the tag-skip in closed form, so a walk
+    that misreads the syncsafe size, any table entry or the padding
+    bit hash-mismatches."""
+    from nreadability_spark.sources.synth import materialize_mp3s
+
+    payloads = spark.read.parquet(materialize_mp3s(spark, sf_dir))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in mp3_frame_info(bytes(payload)):
+                    rows.append((int(doc_id),) + fr)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_FRAME_SCHEMA.fields]
+            )
+
+    return payloads.mapInPandas(batches, schema=MP3_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def multimodal_mp3_frames_sql() -> str:
+    bitrates = ", ".join(str(b) for b in _MP3_BITRATES[1:])
+    rates = ", ".join(str(r) for r in _MP3_RATES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n_frames,
+         [{rates}][(doc_id % 3) + 1] AS sr,
+         10 + (doc_id * 3) % 40 AS skip
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, sr, skip, CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+  FROM base
+),
+sized AS (
+  SELECT doc_id, sr, skip, frame_idx,
+         [{bitrates}][1 + (doc_id + frame_idx * 5) % 14] AS kbps,
+         144000 * [{bitrates}][1 + (doc_id + frame_idx * 5) % 14] // sr
+           + (doc_id + frame_idx) % 2 AS flen
+  FROM frames
+)
+SELECT doc_id, frame_idx,
+       CAST(skip + COALESCE(SUM(flen) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS byte_offset,
+       CAST(flen AS BIGINT) AS frame_bytes,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(1152 * 1000000 // sr AS BIGINT) AS duration_us
+FROM sized
+ORDER BY doc_id, frame_idx
+"""
+
+
 # --- Matroska (mkv) container walk -------------------------------------
 
 _MKV_MAX_BLOCKS = 1 << 20  # bomb bound, same idea as _MP4_MAX_SAMPLES
@@ -1922,6 +2052,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frames,
     "multimodal_frame_sample_mp4": multimodal_frames_mp4,
     "multimodal_frame_sample_mkv": multimodal_frames_mkv,
+    "multimodal_mp3_frames": multimodal_mp3_frames,
     "multimodal_image_pixels": image_pixel_stats,
     "multimodal_image_pixels_jpeg": jpeg_pixel_stats,
     "multimodal_image_resize": image_resize_thumb,
@@ -1936,6 +2067,7 @@ ORACLES = {
     "multimodal_frame_sample": multimodal_frames_sql(),
     "multimodal_frame_sample_mp4": multimodal_frames_mp4_sql(),
     "multimodal_frame_sample_mkv": multimodal_frames_mkv_sql(),
+    "multimodal_mp3_frames": multimodal_mp3_frames_sql(),
     "multimodal_image_pixels": image_pixel_stats_sql(),
     "multimodal_image_pixels_jpeg": jpeg_pixel_stats_sql(),
     "multimodal_image_resize": image_resize_thumb_sql(),

@@ -526,6 +526,68 @@ def g711_payload_for(doc_id: int) -> bytes:
     return build_g711_wav(doc_id)
 
 
+# --- mp3 (MPEG-1 Layer III frame stream) corpus --------------------------
+#
+# Real spec-encoded frame SYNC stream (ISO/IEC 11172-3 header layout):
+# an ID3v2.3 tag with a syncsafe size the walker must skip, then N
+# frames, each a 4-byte header (sync, MPEG-1, Layer III, per-frame
+# bitrate index, per-doc samplerate index, alternating padding bit)
+# followed by deterministic junk payload of exactly the spec frame
+# length 144*bitrate/samplerate + padding. Frame boundaries are
+# closed-form, so the walk's seek table has an exact SQL oracle; the
+# huffman-coded audio payload itself is the gated perceptual path.
+
+MP3_BITRATES = (  # MPEG-1 Layer III, kbps, index 1..14
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_RATES = (44100, 48000, 32000)  # samplerate index 0..2
+
+
+def mp3_meta_for(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, samplerate index, ID3v2 tag body length)."""
+    return 2 + doc_id % 4, doc_id % 3, (doc_id * 3) % 40
+
+
+def mp3_bitrate_idx_for(doc_id: int, k: int) -> int:
+    return 1 + (doc_id + k * 5) % 14
+
+
+def mp3_frame_len_for(doc_id: int, k: int) -> int:
+    sr = MP3_RATES[doc_id % 3]
+    kbps = MP3_BITRATES[mp3_bitrate_idx_for(doc_id, k)]
+    return 144_000 * kbps // sr + (doc_id + k) % 2
+
+
+def build_mp3(doc_id: int) -> bytes:
+    n, sr_idx, tag_len = mp3_meta_for(doc_id)
+    # ID3v2.3 header: "ID3", version, flags, 4-byte syncsafe size
+    syncsafe = bytes(
+        [(tag_len >> 21) & 0x7F, (tag_len >> 14) & 0x7F,
+         (tag_len >> 7) & 0x7F, tag_len & 0x7F]
+    )
+    out = b"ID3" + bytes([3, 0, 0]) + syncsafe + bytes(
+        (doc_id + j) % 256 for j in range(tag_len)
+    )
+    for k in range(n):
+        b_idx = mp3_bitrate_idx_for(doc_id, k)
+        pad = (doc_id + k) % 2
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,  # sync + MPEG-1 + Layer III + no CRC
+                (b_idx << 4) | (sr_idx << 2) | (pad << 1),
+                0x40,  # joint stereo
+            ]
+        )
+        body_len = mp3_frame_len_for(doc_id, k) - 4
+        out += hdr + bytes((doc_id * 7 + k * 11 + j) % 256 for j in range(body_len))
+    return out
+
+
+def mp3_payload_for(doc_id: int) -> bytes:
+    return build_mp3(doc_id)
+
+
 # --- fully-decodable baseline JPEG corpus (grayscale) --------------------
 #
 # Real ITU T.81 baseline-sequential encoding: canonical huffman codes
@@ -1240,6 +1302,26 @@ def materialize_g711_wavs(spark, sf_dir, cache_root=None) -> str:
         return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
     return _materialize(spark, sf_dir, "g711.parquet", build, cache_root)
+
+
+def materialize_mp3s(spark, sf_dir, cache_root=None) -> str:
+    """(doc_id, payload binary) mp3 frame-stream corpus for the
+    documents at ``sf_dir``; returns the cached parquet path."""
+    import pandas as pd
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                ids = [int(i) for i in b["doc_id"]]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [mp3_payload_for(i) for i in ids]}
+                )
+
+        return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    return _materialize(spark, sf_dir, "mp3s.parquet", build, cache_root)
 
 
 def materialize_mkvs(spark, sf_dir, cache_root=None) -> str:

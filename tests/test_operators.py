@@ -349,6 +349,42 @@ def test_sft_spans_slice_the_rendered_conversation(spark):
         assert conv[r.span_end : r.span_end + len(SFT_END)] == SFT_END
 
 
+def test_mp3_frame_walk_is_real():
+    """The mp3 walker must compute every frame boundary from the spec
+    length arithmetic over the actual header bits — builder roundtrip
+    across samplerates/bitrate-index schedules/padding parities with
+    the ID3v2 syncsafe skip, a hand-built stream the doc-keyed builder
+    never produces, and totality on garbage and truncation."""
+    from nreadability_spark.operators.multimodal import mp3_frame_info
+    from nreadability_spark.sources import synth
+
+    for d in (0, 1, 2, 3, 5, 9, 14):
+        b = synth.build_mp3(d)
+        got = mp3_frame_info(b)
+        n, sr_idx, tag = synth.mp3_meta_for(d)
+        sr = synth.MP3_RATES[sr_idx]
+        off = 10 + tag
+        assert len(got) == n
+        for k in range(n):
+            flen = synth.mp3_frame_len_for(d, k)
+            kbps = synth.MP3_BITRATES[synth.mp3_bitrate_idx_for(d, k)]
+            assert got[k] == (k, off, flen, kbps, 1152 * 1_000_000 // sr)
+            off += flen
+
+    # no ID3 tag, one 48000 Hz 64 kbps padded frame then trailing junk:
+    # 144000*64//48000 + 1 = 193 bytes, walk stops at the junk
+    hdr = bytes([0xFF, 0xFB, (5 << 4) | (1 << 2) | 2, 0x40])
+    stream = hdr + bytes(189) + b"\x00garbage"
+    assert mp3_frame_info(stream) == [(0, 0, 193, 64, 24000)]
+
+    g = synth.build_mp3(7)
+    for junk in (b"", b"ID3", b"\x00" * 50, b"\xff\xfb"):
+        assert mp3_frame_info(junk) == []
+    # truncation mid-frame yields the intact prefix
+    whole = mp3_frame_info(g)
+    assert mp3_frame_info(g[:-3]) == whole[:-1]
+
+
 def test_g711_tables_match_independent_implementation():
     """Both G.711 decode tables must match an independent reference
     implementation (stdlib ``audioop``, present through Python 3.12)
