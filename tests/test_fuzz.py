@@ -282,6 +282,8 @@ _media_junk = st.one_of(
     ),
     st.binary(max_size=150).map(lambda b: b"\x00\x00\x00\x14ftypisom" + b),
     st.binary(max_size=150).map(lambda b: b"RIFF\x00\x01\x00\x00WAVE" + b),
+    st.binary(max_size=150).map(lambda b: b"ID3\x03\x00\x00" + b),
+    st.binary(max_size=150).map(lambda b: b"\xff\xfb" + b),
 )
 
 
@@ -292,12 +294,20 @@ def test_media_parsers_are_total(data):
     hostile bytes — malformed varints, lying sizes, truncated headers
     all return []/None, deterministically."""
     from nreadability_spark.operators.multimodal import (
+        decode_g711_samples,
         decode_ima_adpcm_samples,
         mkv_frame_info,
+        mp3_frame_info,
         mp4_frame_info,
     )
 
-    for fn in (mkv_frame_info, mp4_frame_info, decode_ima_adpcm_samples):
+    for fn in (
+        mkv_frame_info,
+        mp4_frame_info,
+        mp3_frame_info,
+        decode_ima_adpcm_samples,
+        decode_g711_samples,
+    ):
         r1 = fn(data)
         r2 = fn(data)
         assert r1 == r2
